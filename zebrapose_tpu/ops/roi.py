@@ -1,0 +1,296 @@
+"""ROI geometry: bbox bookkeeping + on-device crop/resize sampling.
+
+The reference preprocesses every sample on the CPU dataloader worker with
+cv2 (`zebrapose/bop_dataset_pytorch.py:21-194`): pad/jitter the bbox,
+expand to a square, zero-pad out-of-image regions, cv2.resize to the crop
+size, and re-derive the square bbox (`get_final_Bbox`) so PnP can map crop
+pixels back to full-image coordinates.
+
+Here the integer bbox bookkeeping stays on host (it is a handful of scalar
+ops and its exact C-style truncation semantics feed the pose solver), while
+the heavy per-pixel work — crop, zero-pad, bilinear/nearest resample — is a
+fixed-shape jittable JAX function (`extract_roi_*`) that vmaps over a batch
+of (image, bbox) pairs and fuses into the model's forward program, so
+pixels never take a second host round-trip.
+
+Parity notes (these exactly reproduce reference quirks; see SURVEY.md §7.4):
+  * int() truncates toward zero (C cast), not floor — matters for bboxes
+    crossing the image border at negative coordinates.
+  * crop_square_resize resizes the side=max(bw,bh) square even when the
+    truncated x2-x1 differs; get_final_Bbox reports x2-x1 — the (tiny)
+    inconsistency is kept because it affects ADD parity.
+  * cv2.resize sampling: linear src = (dst+0.5)*scale-0.5 with edge
+    replication inside the square; nearest src = floor(dst*scale).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Host-side integer bbox bookkeeping (exact reference semantics)
+# ---------------------------------------------------------------------------
+
+def _trunc(v) -> int:
+    """C-style int cast (truncate toward zero), like Python int()."""
+    return int(v)
+
+
+def padding_bbox(bbox, padding_ratio: float) -> np.ndarray:
+    """Scale a (x, y, w, h) bbox about its center. Ref: padding_Bbox."""
+    x1, y1, bw, bh = (float(v) for v in bbox)
+    cx = x1 + 0.5 * bw
+    cy = y1 + 0.5 * bh
+    pw = _trunc(bw * padding_ratio)
+    ph = _trunc(bh * padding_ratio)
+    return np.array([_trunc(cx - pw / 2), _trunc(cy - ph / 2), pw, ph],
+                    dtype=np.int64)
+
+
+def augment_bbox(bbox, padding_ratio: float,
+                 rng: np.random.Generator) -> np.ndarray:
+    """Random scale in [0.75,1.25] + center shift of ±0.25 w/h, then pad.
+
+    Ref: aug_Bbox (bop_dataset_pytorch.py:141-160).
+    """
+    x1, y1, bw, bh = (float(v) for v in bbox)
+    cx = x1 + 0.5 * bw
+    cy = y1 + 0.5 * bh
+    scale_ratio = 1 + 0.25 * (2 * rng.random() - 1)
+    shift = 0.25 * (2 * rng.random(2) - 1)
+    cx = cx + bw * shift[0]
+    cy = cy + bh * shift[1]
+    aw = _trunc(bw * scale_ratio * padding_ratio)
+    ah = _trunc(bh * scale_ratio * padding_ratio)
+    return np.array([_trunc(cx - aw / 2), _trunc(cy - ah / 2), aw, ah],
+                    dtype=np.int64)
+
+
+def square_bbox(bbox) -> Tuple[int, int, int, int, int]:
+    """Expand (x,y,w,h) to the square used by crop_square_resize.
+
+    Returns (x1, y1, x2, y2, side) with the reference's truncation:
+    side = max(w, h); the shorter axis is re-centered then truncated.
+    """
+    x1, y1, bw, bh = (float(v) for v in bbox)
+    bw = max(bw, 0.0)
+    bh = max(bh, 0.0)
+    x2 = x1 + bw
+    y2 = y1 + bh
+    cx = 0.5 * (x1 + x2)
+    cy = 0.5 * (y1 + y2)
+    if bh > bw:
+        x1 = cx - bh / 2
+        x2 = cx + bh / 2
+    else:
+        y1 = cy - bw / 2
+        y2 = cy + bw / 2
+    return (_trunc(x1), _trunc(y1), _trunc(x2), _trunc(y2),
+            int(max(bh, bw)))
+
+
+def final_bbox(bbox, resize_method: str, max_x: int, max_y: int
+               ) -> np.ndarray:
+    """The bbox actually represented by the crop, for PnP un-cropping.
+
+    Ref: get_final_Bbox (bop_dataset_pytorch.py:162-194) — the arXiv-v2
+    bugfix. max_x/max_y are image width/height.
+    """
+    if resize_method in ("crop_square_resize", "crop_resize_by_warp_affine"):
+        x1, y1, x2, y2, _ = square_bbox(bbox)
+        return np.array([x1, y1, x2 - x1, y2 - y1], dtype=np.int64)
+    if resize_method == "crop_resize":
+        x1 = _trunc(max(float(bbox[0]), 0))
+        y1 = _trunc(max(float(bbox[1]), 0))
+        x2 = _trunc(min(float(bbox[0]) + float(bbox[2]), max_x))
+        y2 = _trunc(min(float(bbox[1]) + float(bbox[3]), max_y))
+        return np.array([x1, y1, x2 - x1, y2 - y1], dtype=np.int64)
+    raise NotImplementedError(f"unknown resize_method: {resize_method}")
+
+
+def warp_affine_params(bbox, image_hw: Tuple[int, int]
+                       ) -> Tuple[float, float, float]:
+    """(cx, cy, scale) for the CenterNet-style affine crop.
+
+    Ref: get_scale_and_Bbox_center (bop_dataset_pytorch.py:90-108):
+    scale = min(max(bw, bh), max(H, W)).
+    """
+    x1, y1, bw, bh = (float(v) for v in bbox)
+    cx = x1 + 0.5 * bw
+    cy = y1 + 0.5 * bh
+    scale = min(max(bh, bw), max(image_hw[0], image_hw[1])) * 1.0
+    return cx, cy, scale
+
+
+# ---------------------------------------------------------------------------
+# Device-side sampling kernels
+# ---------------------------------------------------------------------------
+
+def _cv2_linear_coords(crop: int, side) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cv2 INTER_LINEAR source coords + lerp weights inside a `side` square."""
+    scale = side / crop
+    s = (jnp.arange(crop, dtype=jnp.float32) + 0.5) * scale - 0.5
+    s = jnp.clip(s, 0.0, side - 1.0)
+    i0 = jnp.floor(s)
+    frac = s - i0
+    return i0.astype(jnp.int32), frac
+
+
+def _cv2_nearest_coords(crop: int, side) -> jnp.ndarray:
+    """cv2 INTER_NEAREST source coords inside a `side` square."""
+    scale = side / crop
+    s = jnp.floor(jnp.arange(crop, dtype=jnp.float32) * scale)
+    return jnp.clip(s, 0, side - 1).astype(jnp.int32)
+
+
+def _gather2d(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray,
+              valid_y: jnp.ndarray, valid_x: jnp.ndarray) -> jnp.ndarray:
+    """img[H,W,C] gathered at (iy[crop], ix[crop]) grid with zero fill."""
+    h, w = img.shape[0], img.shape[1]
+    iy_c = jnp.clip(iy, 0, h - 1)
+    ix_c = jnp.clip(ix, 0, w - 1)
+    out = img[iy_c[:, None], ix_c[None, :]]
+    mask = (valid_y[:, None] & valid_x[None, :])
+    return out * mask[..., None].astype(out.dtype)
+
+
+@partial(jax.jit, static_argnames=("crop_size", "interpolation"))
+def extract_roi_square(img: jnp.ndarray, sq_bbox: jnp.ndarray,
+                       crop_size: int,
+                       interpolation: str = "linear") -> jnp.ndarray:
+    """crop_square_resize on device.
+
+    img: [H, W, C] float32. sq_bbox: int32[5] = (x1, y1, x2, y2, side) from
+    `square_bbox`. Returns [crop_size, crop_size, C] float32. Pixels of the
+    virtual square outside the image (or beyond the truncated copy region
+    x2/y2) read as zero; resampling replicates at the square edge, exactly
+    like cv2.resize over the reference's zero-padded square.
+    """
+    x1, y1, x2, y2 = sq_bbox[0], sq_bbox[1], sq_bbox[2], sq_bbox[3]
+    side = sq_bbox[4].astype(jnp.float32)
+    h, w = img.shape[0], img.shape[1]
+
+    def tap_valid_y(sy):
+        iy = y1 + sy
+        return iy, (iy >= 0) & (iy < jnp.minimum(y2, h))
+
+    def tap_valid_x(sx):
+        ix = x1 + sx
+        return ix, (ix >= 0) & (ix < jnp.minimum(x2, w))
+
+    if interpolation == "nearest":
+        sy = _cv2_nearest_coords(crop_size, side)
+        sx = _cv2_nearest_coords(crop_size, side)
+        iy, vy = tap_valid_y(sy)
+        ix, vx = tap_valid_x(sx)
+        return _gather2d(img, iy, ix, vy, vx)
+
+    i0y, fy = _cv2_linear_coords(crop_size, side)
+    i0x, fx = _cv2_linear_coords(crop_size, side)
+    side_i = sq_bbox[4]
+    i1y = jnp.minimum(i0y + 1, side_i - 1)  # replicate at square edge
+    i1x = jnp.minimum(i0x + 1, side_i - 1)
+    acc = 0.0
+    for sy, wy in ((i0y, 1.0 - fy), (i1y, fy)):
+        iy, vy = tap_valid_y(sy)
+        row = 0.0
+        for sx, wx in ((i0x, 1.0 - fx), (i1x, fx)):
+            ix, vx = tap_valid_x(sx)
+            row = row + _gather2d(img, iy, ix, vy, vx) * wx[None, :, None]
+        acc = acc + row * wy[:, None, None]
+    return acc
+
+
+@partial(jax.jit, static_argnames=("crop_size", "interpolation"))
+def extract_roi_clipped(img: jnp.ndarray, clip_bbox: jnp.ndarray,
+                        crop_size: int,
+                        interpolation: str = "linear") -> jnp.ndarray:
+    """crop_resize on device: resample the image-clipped (non-square) bbox.
+
+    clip_bbox: int32[4] = (x1, y1, w, h) already clipped to the image
+    (`final_bbox(..., "crop_resize", ...)`). No zero padding — all samples
+    land inside the clipped region, replicating at its edges like
+    cv2.resize.
+    """
+    x1, y1 = clip_bbox[0], clip_bbox[1]
+    bw = clip_bbox[2]
+    bh = clip_bbox[3]
+    h, w = img.shape[0], img.shape[1]
+    true_y = jnp.ones((crop_size,), bool)
+
+    if interpolation == "nearest":
+        sy = _cv2_nearest_coords(crop_size, bh.astype(jnp.float32))
+        sx = _cv2_nearest_coords(crop_size, bw.astype(jnp.float32))
+        return _gather2d(img, y1 + sy, x1 + sx, true_y, true_y)
+
+    i0y, fy = _cv2_linear_coords(crop_size, bh.astype(jnp.float32))
+    i0x, fx = _cv2_linear_coords(crop_size, bw.astype(jnp.float32))
+    i1y = jnp.minimum(i0y + 1, bh - 1)
+    i1x = jnp.minimum(i0x + 1, bw - 1)
+    acc = 0.0
+    for sy, wy in ((i0y, 1.0 - fy), (i1y, fy)):
+        for sx, wx in ((i0x, 1.0 - fx), (i1x, fx)):
+            acc = acc + (_gather2d(img, y1 + sy, x1 + sx, true_y, true_y)
+                         * wx[None, :, None] * wy[:, None, None])
+    return acc
+
+
+@partial(jax.jit, static_argnames=("crop_size", "interpolation"))
+def extract_roi_affine(img: jnp.ndarray, center_scale: jnp.ndarray,
+                       crop_size: int,
+                       interpolation: str = "linear") -> jnp.ndarray:
+    """crop_resize_by_warp_affine on device (rot=0 path).
+
+    center_scale: float32[3] = (cx, cy, scale) from `warp_affine_params`.
+    Maps the side=`scale` square centered at (cx, cy) onto the crop with
+    cv2.warpAffine semantics: src = M^{-1} dst exactly (no half-pixel
+    shift in the reference's get_affine_transform), constant-0 border.
+    """
+    cx, cy, scale = center_scale[0], center_scale[1], center_scale[2]
+    h, w = img.shape[0], img.shape[1]
+    step = scale / crop_size
+    # reference affine (GDR_Net_Augmentation.get_affine_transform, rot=0):
+    # dst (0..crop) spans src [center - scale/2, center + scale/2]
+    u = jnp.arange(crop_size, dtype=jnp.float32)
+    sx = cx - scale / 2 + u * step
+    sy = cy - scale / 2 + u * step
+
+    if interpolation == "nearest":
+        ix = jnp.round(sx).astype(jnp.int32)
+        iy = jnp.round(sy).astype(jnp.int32)
+        vy = (iy >= 0) & (iy < h)
+        vx = (ix >= 0) & (ix < w)
+        return _gather2d(img, iy, ix, vy, vx)
+
+    ix0 = jnp.floor(sx).astype(jnp.int32)
+    iy0 = jnp.floor(sy).astype(jnp.int32)
+    fx = sx - ix0
+    fy = sy - iy0
+    acc = 0.0
+    for oy, wy in ((iy0, 1.0 - fy), (iy0 + 1, fy)):
+        vy = (oy >= 0) & (oy < h)
+        for ox, wx in ((ix0, 1.0 - fx), (ix0 + 1, fx)):
+            vx = (ox >= 0) & (ox < w)
+            acc = acc + (_gather2d(img, oy, ox, vy, vx)
+                         * wx[None, :, None] * wy[:, None, None])
+    return acc
+
+
+def map_pixels_to_original(pixels_xy: jnp.ndarray, bbox: jnp.ndarray,
+                           bbox_size: int) -> jnp.ndarray:
+    """Crop-pixel (x, y) -> full-image integer pixel coordinates.
+
+    Ref: mapping_pixel_position_to_original_position
+    (CNN_output_to_pose.py:34-50) including the int truncation, which is
+    part of the pose-parity envelope. bbox is the `final_bbox` (x,y,w,h).
+    """
+    ratio = bbox[2:4].astype(jnp.float32) / bbox_size
+    orig = ratio * pixels_xy.astype(jnp.float32) + bbox[0:2].astype(
+        jnp.float32)
+    return orig.astype(jnp.int32)  # trunc toward zero, like .astype('int')
