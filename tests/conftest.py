@@ -16,3 +16,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var at import time;
+# force the CPU backend explicitly so tests never run over the TPU tunnel.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"

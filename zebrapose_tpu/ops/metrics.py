@@ -1,0 +1,138 @@
+"""Pose-error metrics: ADD / ADD-S (ADI), recall, AUC aggregators.
+
+The reference defers to the external bop_toolkit (`zebrapose/metric.py:8-18`,
+pose_error.add/adi with a cKDTree) and aggregates per-image errors with
+Python loops in `test.py:465-532`. Here the per-pose errors are fixed-shape
+JAX programs (batched over poses via vmap; ADI's nearest-neighbor search is
+a chunked pairwise-distance min that stays on device), and the scalar
+aggregators (VOCap, posecnn-AUC) are small numpy reductions.
+
+Conventions: rotations [3,3], translations [3] or [3,1] (we use [3]),
+model points [N,3] in millimetres (BOP convention).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def transform_points(points: jnp.ndarray, R: jnp.ndarray,
+                     t: jnp.ndarray) -> jnp.ndarray:
+    """[N,3] x [3,3] + [3] -> [N,3]."""
+    return points @ R.T + t[None, :]
+
+
+def add_error(R_est: jnp.ndarray, t_est: jnp.ndarray, R_gt: jnp.ndarray,
+              t_gt: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Average Distance of Model Points (bop_toolkit pose_error.add)."""
+    pe = transform_points(points, R_est, t_est)
+    pg = transform_points(points, R_gt, t_gt)
+    return jnp.mean(jnp.linalg.norm(pe - pg, axis=-1))
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def adi_error(R_est: jnp.ndarray, t_est: jnp.ndarray, R_gt: jnp.ndarray,
+              t_gt: jnp.ndarray, points: jnp.ndarray,
+              chunk: int = 512) -> jnp.ndarray:
+    """ADD for indistinguishable views (bop_toolkit pose_error.adi).
+
+    For each GT-transformed point, the distance to the nearest
+    est-transformed point; averaged. The kd-tree becomes a chunked
+    [chunk, N] pairwise-distance min so it runs on the VPU with bounded
+    memory.
+    """
+    pe = transform_points(points, R_est, t_est)
+    pg = transform_points(points, R_gt, t_gt)
+    n = pg.shape[0]
+    pad = (-n) % chunk
+    pg_pad = jnp.pad(pg, ((0, pad), (0, 0)))
+    valid = jnp.pad(jnp.ones((n,), jnp.float32), (0, pad))
+    pg_chunks = pg_pad.reshape(-1, chunk, 3)
+    valid_chunks = valid.reshape(-1, chunk)
+
+    def chunk_min(args):
+        pgc, vc = args
+        # ||a-b||^2 = |a|^2 + |b|^2 - 2ab ; min over est points.
+        # HIGHEST precision: the default bf16 MXU pass loses ~8 mantissa
+        # bits, which the cancellation here amplifies into mm-scale error.
+        d2 = (jnp.sum(pgc ** 2, -1)[:, None]
+              + jnp.sum(pe ** 2, -1)[None, :]
+              - 2.0 * jnp.matmul(pgc, pe.T,
+                                 precision=jax.lax.Precision.HIGHEST))
+        dmin = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0))
+        return jnp.sum(dmin * vc)
+
+    sums = jax.lax.map(chunk_min, (pg_chunks, valid_chunks))
+    return jnp.sum(sums) / n
+
+
+def pose_error(R_est, t_est, R_gt, t_gt, points, symmetric: bool
+               ) -> jnp.ndarray:
+    """ADD for asymmetric objects, ADI for symmetric (BOP ADD(-S))."""
+    if symmetric:
+        return adi_error(R_est, t_est, R_gt, t_gt, points)
+    return add_error(R_est, t_est, R_gt, t_gt, points)
+
+
+# ---------------------------------------------------------------------------
+# Aggregators over per-image error arrays (host-side, tiny)
+# ---------------------------------------------------------------------------
+
+def recall_at(errors: np.ndarray, diameter: float,
+              fraction: float = 0.1) -> float:
+    """Fraction of errors below `fraction * diameter` (ADD recall@0.1d)."""
+    errors = np.asarray(errors)
+    if errors.size == 0:
+        return 0.0
+    return float(np.mean(errors < diameter * fraction))
+
+
+def auc_step(errors: np.ndarray, thresholds=None) -> np.ndarray:
+    """Per-image 10-step AUC over thresholds 10..100mm (test.py:478-484)."""
+    if thresholds is None:
+        thresholds = np.linspace(10, 100, num=10)
+    errors = np.asarray(errors)
+    return (errors[:, None] < thresholds[None, :]).mean(axis=1)
+
+
+def voc_ap(rec: np.ndarray, prec: np.ndarray) -> float:
+    """VOC AP over the [0, 0.1] recall-vs-error curve (test.py VOCap)."""
+    idx = np.where(rec != np.inf)[0]
+    if idx.size == 0:
+        return 0.0
+    rec = rec[idx]
+    prec = prec[idx]
+    mrec = np.concatenate(([0.0], rec, [0.1]))
+    mpre = np.concatenate(([0.0], prec, [prec[-1]]))
+    for i in range(1, mpre.shape[0]):
+        mpre[i] = max(mpre[i], mpre[i - 1])
+    i = np.where(mrec[1:] != mrec[:-1])[0] + 1
+    return float(np.sum((mrec[i] - mrec[i - 1]) * mpre[i]) * 10)
+
+
+def auc_posecnn(errors: np.ndarray) -> float:
+    """PoseCNN-style AUC with 0.1m cutoff (test.py compute_auc_posecnn).
+
+    `errors` in metres (the reference divides mm by 1000 before calling).
+    """
+    d = np.sort(np.asarray(errors, dtype=np.float64).copy())
+    n = d.shape[0]
+    if n == 0:
+        return float("nan")
+    d[d > 0.1] = np.inf
+    accuracy = np.cumsum(np.ones(n)) / n
+    ids = np.isfinite(d)
+    if ids.sum() == 0:
+        return float("nan")
+    rec = d[ids]
+    prec = accuracy[ids]
+    mrec = np.concatenate(([0], rec, [0.1]))
+    mpre = np.concatenate(([0], prec, [prec[-1]]))
+    for i in range(1, len(mpre)):
+        mpre[i] = max(mpre[i], mpre[i - 1])
+    ids2 = np.where(mrec[1:] != mrec[:-1])[0] + 1
+    return float(((mrec[ids2] - mrec[ids2 - 1]) * mpre[ids2]).sum() * 10)
