@@ -1,0 +1,163 @@
+"""EPnP/RANSAC solver tests on synthetic correspondences + cv2 oracle."""
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from zebrapose_tpu.ops.pnp import (
+    PnPConfig,
+    decode_to_pose,
+    epnp,
+    project_points,
+    ransac_pnp,
+)
+
+K = np.array([[572.4114, 0, 325.2611],
+              [0, 573.57043, 242.04899],
+              [0, 0, 1]], dtype=np.float32)
+
+
+def _random_pose(rng):
+    a = rng.normal(size=(3, 3))
+    q, _ = np.linalg.qr(a)
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    t = np.array([rng.uniform(-30, 30), rng.uniform(-30, 30),
+                  rng.uniform(400, 900)], dtype=np.float32)
+    return q.astype(np.float32), t
+
+
+def _object_points(rng, n=200):
+    return rng.uniform(-40, 40, size=(n, 3)).astype(np.float32)
+
+
+def _rot_err_deg(Ra, Rb):
+    c = (np.trace(Ra.T @ Rb) - 1) / 2
+    return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+
+def test_project_points_matches_cv2():
+    rng = np.random.default_rng(10)
+    pts = _object_points(rng, 50)
+    R, t = _random_pose(rng)
+    rvec, _ = cv2.Rodrigues(R)
+    expect, _ = cv2.projectPoints(pts, rvec, t, K, None)
+    got = np.asarray(project_points(jnp.asarray(pts), jnp.asarray(R),
+                                    jnp.asarray(t), jnp.asarray(K)))
+    np.testing.assert_allclose(got, expect[:, 0, :], atol=1e-2)
+
+
+def test_epnp_exact_correspondences():
+    rng = np.random.default_rng(11)
+    pts = _object_points(rng, 100)
+    R, t = _random_pose(rng)
+    uv = np.array(project_points(jnp.asarray(pts), jnp.asarray(R),
+                                   jnp.asarray(t), jnp.asarray(K)))
+    w = np.ones(100, np.float32)
+    Re, te = epnp(jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(w),
+                  jnp.asarray(K))
+    assert _rot_err_deg(np.asarray(Re), R) < 0.5
+    assert np.linalg.norm(np.asarray(te) - t) < 2.0
+
+
+def test_epnp_weights_ignore_garbage():
+    rng = np.random.default_rng(12)
+    pts = _object_points(rng, 120)
+    R, t = _random_pose(rng)
+    uv = np.array(project_points(jnp.asarray(pts), jnp.asarray(R),
+                                   jnp.asarray(t), jnp.asarray(K)))
+    # corrupt the last 40 correspondences but zero their weight
+    uv[80:] += rng.uniform(-200, 200, size=(40, 2))
+    w = np.concatenate([np.ones(80), np.zeros(40)]).astype(np.float32)
+    Re, te = epnp(jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(w),
+                  jnp.asarray(K))
+    assert _rot_err_deg(np.asarray(Re), R) < 0.5
+    assert np.linalg.norm(np.asarray(te) - t) < 2.0
+
+
+def test_ransac_with_outliers_matches_cv2_quality():
+    rng = np.random.default_rng(13)
+    pts = _object_points(rng, 400)
+    R, t = _random_pose(rng)
+    uv = np.array(project_points(jnp.asarray(pts), jnp.asarray(R),
+                                   jnp.asarray(t), jnp.asarray(K)))
+    uv += rng.normal(scale=0.3, size=uv.shape)  # inlier pixel noise
+    n_out = 120
+    out_idx = rng.choice(400, n_out, replace=False)
+    uv[out_idx] = rng.uniform(0, 640, size=(n_out, 2))  # 30% outliers
+    w = np.ones(400, np.float32)
+
+    cfg = PnPConfig(n_hypotheses=128, refine_iters=2)
+    Re, te, ok, n_in = ransac_pnp(
+        jnp.asarray(pts), jnp.asarray(uv.astype(np.float32)),
+        jnp.asarray(w), jnp.asarray(K), jax.random.PRNGKey(0), cfg)
+    assert bool(ok)
+    assert int(n_in) > 200
+    assert _rot_err_deg(np.asarray(Re), R) < 1.0
+    assert np.linalg.norm(np.asarray(te) - t) < 5.0
+
+    # cv2 oracle on identical data for quality comparison
+    okc, rvec, tvec, inl = cv2.solvePnPRansac(
+        pts, uv.astype(np.float32), K, None, reprojectionError=2,
+        iterationsCount=150, flags=cv2.SOLVEPNP_EPNP)
+    Rc, _ = cv2.Rodrigues(rvec)
+    # our solution should be in the same quality class as cv2's
+    assert _rot_err_deg(np.asarray(Re), R) < _rot_err_deg(Rc, R) + 1.0
+
+
+def test_ransac_empty_mask_fails_gracefully():
+    pts = np.zeros((64, 3), np.float32)
+    uv = np.zeros((64, 2), np.float32)
+    w = np.zeros(64, np.float32)
+    R, t, ok, n_in = ransac_pnp(jnp.asarray(pts), jnp.asarray(uv),
+                                jnp.asarray(w), jnp.asarray(K),
+                                jax.random.PRNGKey(1),
+                                PnPConfig(n_hypotheses=16))
+    assert not bool(ok)
+    np.testing.assert_array_equal(np.asarray(R), np.eye(3))
+    np.testing.assert_array_equal(np.asarray(t), 0)
+
+
+def test_decode_to_pose_end_to_end():
+    """Synthetic crop: every foreground pixel's class id maps (via LUT) to
+    the 3D point whose projection is that pixel's original-image position,
+    under a known pose. decode_to_pose must recover that pose."""
+    rng = np.random.default_rng(14)
+    R, t = _random_pose(rng)
+    crop = 32
+    bbox = np.array([200, 150, 96, 96], dtype=np.int64)  # x, y, w, h
+    n_bits = 10
+    lut_pts = np.zeros((2 ** n_bits, 3), np.float32)
+    lut_valid = np.zeros((2 ** n_bits,), bool)
+
+    mask = np.zeros((crop, crop), np.float32)
+    code = np.zeros((crop, crop, n_bits), np.float32)
+    Kinv = np.linalg.inv(K)
+    next_id = 1
+    for y in range(4, 28):
+        for x in range(4, 28):
+            # original-image pixel with reference int truncation
+            ox = int(bbox[2] / crop * x + bbox[0])
+            oy = int(bbox[3] / crop * y + bbox[1])
+            depth = 600.0 + 5 * np.sin(x * 0.3) * np.cos(y * 0.2)
+            pc = Kinv @ np.array([ox * depth, oy * depth, depth])
+            pw = R.T @ (pc - t)
+            cid = next_id
+            next_id += 1
+            lut_pts[cid] = pw
+            lut_valid[cid] = True
+            mask[y, x] = 1.0
+            code[y, x] = [(cid >> (n_bits - 1 - i)) & 1
+                          for i in range(n_bits)]
+
+    cfg = PnPConfig(n_hypotheses=64, max_points=1024)
+    Re, te, ok, n_in = decode_to_pose(
+        jnp.asarray(mask), jnp.asarray(code), jnp.asarray(lut_pts),
+        jnp.asarray(lut_valid), jnp.asarray(bbox.astype(np.int32)),
+        jnp.asarray(K), jax.random.PRNGKey(2), bbox_size=crop, base=2,
+        cfg=cfg)
+    assert bool(ok)
+    # quantization to integer original pixels bounds accuracy (~1.5px)
+    assert _rot_err_deg(np.asarray(Re), R) < 2.0
+    assert np.linalg.norm(np.asarray(te) - t) < 15.0

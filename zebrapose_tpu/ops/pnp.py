@@ -1,0 +1,383 @@
+"""Batched EPnP + RANSAC pose solver, fully on device.
+
+The reference recovers pose on the CPU per image: Python dict lookups per
+foreground pixel, then Progressive-X or cv2.solvePnPRansac(EPnP)
+(`zebrapose/binary_code_helper/CNN_output_to_pose.py:100-160`). That path
+is the throughput ceiling of the whole system (SURVEY.md §7.4), so here it
+is a fixed-shape JAX program:
+
+  * correspondences: predicted code planes -> class ids -> one `take`
+    gather from the dense LUT; foreground selection is a top-K over the
+    mask (fixed capacity, weight-masked) instead of `nonzero()`.
+  * hypotheses: `n_hypotheses` minimal 6-point sets sampled with
+    `jax.random.categorical` over foreground weights, each solved by a
+    vmapped weighted EPnP (beta cases N=1,2,3 + Gauss-Newton on betas,
+    the same estimator family as cv2 SOLVEPNP_EPNP).
+  * scoring: reprojection of all K retained correspondences against every
+    hypothesis in one batched matmul; inliers at `reproj_threshold` px
+    (reference uses 2px, CNN_output_to_pose.py:137/157).
+  * refinement: re-solve weighted EPnP on the best hypothesis' inliers
+    (`refine_iters` rounds), mirroring cv2's final all-inlier solve.
+
+Everything vmaps over a batch of instances, so the test_vivo multi-
+instance path is the same compiled program with a leading axis.
+
+All small dense algebra (12x12 eigh, 6xM least squares, 3x3 SVD) stays in
+float32 with HIGHEST matmul precision — bf16 MXU passes are not accurate
+enough for normal equations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class PnPConfig:
+    n_hypotheses: int = 128
+    sample_size: int = 6
+    reproj_threshold: float = 2.0
+    refine_iters: int = 2
+    max_points: int = 4096      # fixed correspondence capacity (top-K)
+    min_points: int = 6         # reference: >=6 correspondences required
+    gn_iters: int = 5           # Gauss-Newton iterations on betas
+
+
+def project_points(pts3d: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
+                   K: jnp.ndarray) -> jnp.ndarray:
+    """[N,3] world -> [N,2] pixel coords under x_c = R X + t."""
+    pc = pts3d @ R.T + t[None, :]
+    z = jnp.maximum(jnp.abs(pc[:, 2]), 1e-8) * jnp.sign(
+        jnp.where(pc[:, 2] == 0, 1.0, pc[:, 2]))
+    u = K[0, 0] * pc[:, 0] / z + K[0, 2]
+    v = K[1, 1] * pc[:, 1] / z + K[1, 2]
+    return jnp.stack([u, v], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Weighted EPnP core
+# ---------------------------------------------------------------------------
+
+def _control_points(pts: jnp.ndarray, w: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """World control points [4,3] + barycentric coords [N,4].
+
+    c0 = weighted centroid, c1..3 along weighted-PCA axes scaled by
+    sqrt(eigenvalue) (floored so planar point sets stay non-degenerate).
+    """
+    wsum = jnp.maximum(jnp.sum(w), 1e-8)
+    c0 = jnp.sum(pts * w[:, None], axis=0) / wsum
+    d = pts - c0[None, :]
+    cov = jnp.matmul(d.T * w[None, :], d, precision=_HI) / wsum
+    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    scale = jnp.sqrt(jnp.maximum(evals, 1e-6 * jnp.max(evals) + 1e-9))
+    axes = evecs * scale[None, :]        # columns = scaled axes
+    ctrl = jnp.concatenate([c0[None, :], c0[None, :] + axes.T], axis=0)
+    # barycentric: X - c0 = axes @ a[1:4]; axes = E diag(s) orthogonal
+    inv_axes = (evecs / jnp.maximum(scale[None, :], 1e-12)).T  # diag(1/s) E^T
+    a123 = jnp.matmul(d, inv_axes.T, precision=_HI)            # [N,3]
+    a0 = 1.0 - jnp.sum(a123, axis=-1, keepdims=True)
+    alphas = jnp.concatenate([a0, a123], axis=-1)              # [N,4]
+    return ctrl, alphas
+
+
+def _build_mtm(alphas: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
+               K: jnp.ndarray) -> jnp.ndarray:
+    """Weighted M^T M [12,12] without materializing M [2N,12].
+
+    Per point, M's two rows are kron(alpha, B) with
+    B = [[fx, 0, cx-u], [0, fy, cy-v]], so
+    M^T M = sum_i w_i kron(alpha_i alpha_i^T, B_i^T B_i): two rank-
+    structured outer-product contractions that XLA maps to the MXU.
+    """
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    du = cx - pts2d[:, 0]
+    dv = cy - pts2d[:, 1]
+    n = alphas.shape[0]
+    # B^T B rows: [fx^2, 0, fx*du; 0, fy^2, fy*dv; fx*du, fy*dv, du^2+dv^2]
+    zeros = jnp.zeros((n,), alphas.dtype)
+    btb = jnp.stack([
+        jnp.full((n,), fx * fx), zeros, fx * du,
+        zeros, jnp.full((n,), fy * fy), fy * dv,
+        fx * du, fy * dv, du * du + dv * dv,
+    ], axis=-1)                                   # [N, 9]
+    aat = (alphas[:, :, None] * alphas[:, None, :]).reshape(n, 16)
+    blocks = jnp.matmul((aat * w[:, None]).T, btb, precision=_HI)  # [16, 9]
+    mtm = blocks.reshape(4, 4, 3, 3).transpose(0, 2, 1, 3).reshape(12, 12)
+    return mtm
+
+
+def _l6x10_and_rho(V: jnp.ndarray, ctrl_w: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """L [6,10] over control-point pairs + world squared distances rho [6].
+
+    V: [12,4] null-space basis (ascending eigenvalue order, V[:,0] the
+    smallest). Column order of L follows the beta-product order
+    [b11,b12,b22,b13,b23,b33,b14,b24,b34,b44].
+    """
+    cc = V.reshape(4, 3, 4)  # [ctrl, xyz, basis]
+    pairs = jnp.array([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)])
+    dv = cc[pairs[:, 0]] - cc[pairs[:, 1]]       # [6, 3, 4]
+    dots = jnp.einsum("pxa,pxb->pab", dv, dv, precision=_HI)  # [6,4,4]
+    L = jnp.stack([
+        dots[:, 0, 0], 2 * dots[:, 0, 1], dots[:, 1, 1],
+        2 * dots[:, 0, 2], 2 * dots[:, 1, 2], dots[:, 2, 2],
+        2 * dots[:, 0, 3], 2 * dots[:, 1, 3], 2 * dots[:, 2, 3],
+        dots[:, 3, 3],
+    ], axis=-1)                                  # [6, 10]
+    dw = ctrl_w[pairs[:, 0]] - ctrl_w[pairs[:, 1]]
+    rho = jnp.sum(dw * dw, axis=-1)
+    return L, rho
+
+
+def _solve_ls(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Small least-squares via regularized normal equations."""
+    ata = jnp.matmul(A.T, A, precision=_HI)
+    ata = ata + 1e-9 * jnp.trace(ata) * jnp.eye(A.shape[1], dtype=A.dtype)
+    atb = jnp.matmul(A.T, b, precision=_HI)
+    return jnp.linalg.solve(ata, atb)
+
+
+def _betas_case1(L, rho):
+    x = _solve_ls(L[:, jnp.array([0, 1, 3, 6])], rho)
+    b1 = jnp.sqrt(jnp.abs(x[0]))
+    s = jnp.sign(x[0]) + (x[0] == 0)
+    rest = s * x[1:] / jnp.maximum(b1, 1e-12)
+    return jnp.concatenate([b1[None], rest])
+
+
+def _betas_case2(L, rho):
+    x = _solve_ls(L[:, jnp.array([0, 1, 2])], rho)
+    b1 = jnp.sqrt(jnp.abs(x[0]))
+    b2 = jnp.sqrt(jnp.abs(x[2])) * jnp.sign(x[1]) * jnp.sign(x[0])
+    return jnp.concatenate([b1[None], b2[None], jnp.zeros((2,), L.dtype)])
+
+
+def _betas_case3(L, rho):
+    x = _solve_ls(L[:, jnp.array([0, 1, 2, 3, 4])], rho)
+    b1 = jnp.sqrt(jnp.abs(x[0]))
+    b2 = jnp.sqrt(jnp.abs(x[2])) * jnp.sign(x[1]) * jnp.sign(x[0])
+    b3 = x[3] / jnp.maximum(b1, 1e-12) * jnp.sign(x[0])
+    return jnp.concatenate([b1[None], b2[None], b3[None],
+                            jnp.zeros((1,), L.dtype)])
+
+
+def _beta_products(b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.array([
+        b[0] * b[0], b[0] * b[1], b[1] * b[1], b[0] * b[2], b[1] * b[2],
+        b[2] * b[2], b[0] * b[3], b[1] * b[3], b[2] * b[3], b[3] * b[3],
+    ])
+
+
+def _gauss_newton_betas(L: jnp.ndarray, rho: jnp.ndarray, betas: jnp.ndarray,
+                        iters: int) -> jnp.ndarray:
+    """Refine betas minimizing ||L * prods(betas) - rho||, cv2-style."""
+
+    def step(bs, _):
+        b1, b2, b3, b4 = bs[0], bs[1], bs[2], bs[3]
+        # d prods / d betas : [10, 4]
+        z = jnp.zeros((), L.dtype)
+        dp = jnp.array([
+            [2 * b1, z, z, z],
+            [b2, b1, z, z],
+            [z, 2 * b2, z, z],
+            [b3, z, b1, z],
+            [z, b3, b2, z],
+            [z, z, 2 * b3, z],
+            [b4, z, z, b1],
+            [z, b4, z, b2],
+            [z, z, b4, b3],
+            [z, z, z, 2 * b4],
+        ])
+        J = jnp.matmul(L, dp, precision=_HI)        # [6,4]
+        r = rho - jnp.matmul(L, _beta_products(bs), precision=_HI)
+        delta = _solve_ls(J, r)
+        return bs + delta, None
+
+    betas, _ = jax.lax.scan(step, betas, None, length=iters)
+    return betas
+
+
+def _procrustes(pw: jnp.ndarray, pc: jnp.ndarray, w: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted rigid fit: R, t with pc ~= R pw + t (Horn/Umeyama)."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-8)
+    cw = jnp.sum(pw * w[:, None], axis=0) / wsum
+    cc = jnp.sum(pc * w[:, None], axis=0) / wsum
+    H = jnp.matmul(((pw - cw) * w[:, None]).T, pc - cc, precision=_HI)
+    U, _, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(jnp.matmul(Vt.T, U.T, precision=_HI)))
+    D = jnp.diag(jnp.concatenate([jnp.ones((2,), pw.dtype), d[None]]))
+    R = jnp.matmul(jnp.matmul(Vt.T, D, precision=_HI), U.T, precision=_HI)
+    t = cc - R @ cw
+    return R, t
+
+
+def _pose_from_betas(betas: jnp.ndarray, V: jnp.ndarray, alphas: jnp.ndarray,
+                     pts3d: jnp.ndarray, w: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    x = jnp.matmul(V, betas, precision=_HI)          # [12]
+    cc = x.reshape(4, 3)
+    pc = jnp.matmul(alphas, cc, precision=_HI)       # [N,3] camera frame
+    wsum = jnp.maximum(jnp.sum(w), 1e-8)
+    zmean = jnp.sum(pc[:, 2] * w) / wsum
+    flip = jnp.where(zmean < 0, -1.0, 1.0)
+    pc = pc * flip
+    return _procrustes(pts3d, pc, w)
+
+
+def epnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
+         K: jnp.ndarray, gn_iters: int = 5
+         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted EPnP: [N,3], [N,2], weights [N] -> (R [3,3], t [3]).
+
+    Runs the three closed-form beta initializations + Gauss-Newton and
+    keeps the one with the lowest weighted reprojection error — the same
+    candidate family as cv2's SOLVEPNP_EPNP.
+    """
+    ctrl_w, alphas = _control_points(pts3d, w)
+    mtm = _build_mtm(alphas, pts2d, w, K)
+    _, evecs = jnp.linalg.eigh(mtm)                  # ascending
+    V = evecs[:, :4]                                 # null-space basis
+    L, rho = _l6x10_and_rho(V, ctrl_w)
+
+    def candidate(betas0):
+        betas = _gauss_newton_betas(L, rho, betas0, gn_iters)
+        R, t = _pose_from_betas(betas, V, alphas, pts3d, w)
+        proj = project_points(pts3d, R, t, K)
+        err = jnp.sum(jnp.sum((proj - pts2d) ** 2, -1) * w) / \
+            jnp.maximum(jnp.sum(w), 1e-8)
+        return R, t, err
+
+    cands = [candidate(f(L, rho)) for f in
+             (_betas_case1, _betas_case2, _betas_case3)]
+    Rs = jnp.stack([c[0] for c in cands])
+    ts = jnp.stack([c[1] for c in cands])
+    errs = jnp.stack([c[2] for c in cands])
+    errs = jnp.where(jnp.isnan(errs), jnp.inf, errs)
+    best = jnp.argmin(errs)
+    return Rs[best], ts[best]
+
+
+# ---------------------------------------------------------------------------
+# RANSAC
+# ---------------------------------------------------------------------------
+
+def ransac_pnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
+               K: jnp.ndarray, key: jax.Array,
+               cfg: PnPConfig = PnPConfig()
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                          jnp.ndarray]:
+    """RANSAC + weighted-EPnP over fixed-capacity correspondences.
+
+    pts3d/pts2d: [P, .] with weight w[P] in {0,1} (0 = padding/background).
+    Returns (R, t, success, inlier_count). Replaces
+    cv2.solvePnPRansac(..., reprojectionError=2, iterationsCount=150,
+    SOLVEPNP_EPNP) with `n_hypotheses` parallel minimal solves.
+    """
+    P = pts3d.shape[0]
+    logits = jnp.where(w > 0, 0.0, -jnp.inf)
+    idx = jax.random.categorical(
+        key, logits[None, :], shape=(cfg.n_hypotheses, cfg.sample_size))
+    # degenerate empty mask -> categorical returns arbitrary; guarded below
+    idx = jnp.clip(idx, 0, P - 1)
+
+    samp3d = pts3d[idx]                              # [H, S, 3]
+    samp2d = pts2d[idx]
+    ones = jnp.ones((cfg.n_hypotheses, cfg.sample_size), pts3d.dtype)
+    Rs, ts = jax.vmap(lambda a, b, ww: epnp(a, b, ww, K, cfg.gn_iters))(
+        samp3d, samp2d, ones)
+
+    # score every hypothesis against all correspondences
+    def reproj_err(R, t):
+        proj = project_points(pts3d, R, t, K)
+        return jnp.linalg.norm(proj - pts2d, axis=-1)
+
+    errs = jax.vmap(reproj_err)(Rs, ts)              # [H, P]
+    errs = jnp.where(jnp.isnan(errs), jnp.inf, errs)
+    inliers = (errs < cfg.reproj_threshold) & (w > 0)[None, :]
+    counts = jnp.sum(inliers, axis=-1)
+    best = jnp.argmax(counts)
+    R_best, t_best = Rs[best], ts[best]
+    in_best = inliers[best]
+
+    # refinement: weighted EPnP over current inliers, re-estimating the
+    # inlier set each round (cv2's final solve over the consensus set)
+    def refine(carry, _):
+        R, t, inl = carry
+        w_in = inl.astype(pts3d.dtype)
+        enough = jnp.sum(w_in) >= cfg.min_points
+        R2, t2 = epnp(pts3d, pts2d, w_in, K, cfg.gn_iters)
+        err2 = jnp.linalg.norm(project_points(pts3d, R2, t2, K) - pts2d,
+                               axis=-1)
+        inl2 = (err2 < cfg.reproj_threshold) & (w > 0)
+        better = enough & (jnp.sum(inl2) >= jnp.sum(inl))
+        R = jnp.where(better, R2, R)
+        t = jnp.where(better, t2, t)
+        inl = jnp.where(better, inl2, inl)
+        return (R, t, inl), None
+
+    (R_fin, t_fin, in_fin), _ = jax.lax.scan(
+        refine, (R_best, t_best, in_best), None, length=cfg.refine_iters)
+
+    n_in = jnp.sum(in_fin)
+    success = (jnp.sum(w > 0) >= cfg.min_points) & (n_in >= cfg.min_points)
+    eye = jnp.eye(3, dtype=pts3d.dtype)
+    R_out = jnp.where(success, R_fin, eye)
+    t_out = jnp.where(success, t_fin, jnp.zeros((3,), pts3d.dtype))
+    return R_out, t_out, success, n_in
+
+
+# ---------------------------------------------------------------------------
+# Full decode: mask + code planes -> pose
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("bbox_size", "cfg", "base"))
+def decode_to_pose(mask: jnp.ndarray, code: jnp.ndarray,
+                   lut_points: jnp.ndarray, lut_valid: jnp.ndarray,
+                   bbox: jnp.ndarray, K: jnp.ndarray, key: jax.Array,
+                   bbox_size: int = 128, base: int = 2,
+                   cfg: PnPConfig = PnPConfig()
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                              jnp.ndarray]:
+    """CNN outputs -> object pose (CNN_outputs_to_object_pose, on device).
+
+    mask: [H,W] hard {0,1}; code: [H,W,n] hard digits; lut_points
+    [C,3] / lut_valid [C]; bbox = final_bbox int32[4]; K [3,3].
+
+    Pixel bookkeeping matches the reference: correspondence 2D point is
+    the (x, y) crop pixel mapped through the final bbox with int
+    truncation (mapping_pixel_position_to_original_position).
+    """
+    from zebrapose_tpu.codec.surface_code import code_to_class_id
+    from zebrapose_tpu.ops.roi import map_pixels_to_original
+
+    h, w_img = mask.shape
+    ids = code_to_class_id(code, base=base)          # [H,W]
+    pts3d = lut_points[ids.reshape(-1)]              # [H*W, 3]
+    valid3d = lut_valid[ids.reshape(-1)]
+    fg = mask.reshape(-1) * valid3d.astype(mask.dtype)
+
+    # fixed-capacity top-K foreground selection (random among foreground)
+    noise = jax.random.uniform(jax.random.fold_in(key, 1), fg.shape,
+                               minval=0.0, maxval=0.5)
+    score = fg + noise * fg
+    k = min(cfg.max_points, h * w_img)
+    _, sel = jax.lax.top_k(score, k)
+    w_sel = fg[sel]
+
+    yy = sel // w_img
+    xx = sel % w_img
+    px = jnp.stack([xx, yy], axis=-1)                # (x, y) crop pixels
+    orig = map_pixels_to_original(px, bbox, bbox_size).astype(jnp.float32)
+
+    return ransac_pnp(pts3d[sel], orig, w_sel, K,
+                      jax.random.fold_in(key, 2), cfg)
