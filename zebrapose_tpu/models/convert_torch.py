@@ -1,0 +1,185 @@
+"""Convert reference PyTorch checkpoints / torchvision backbones to Flax.
+
+The reference ships torch checkpoints of BinaryCodeNet_Deeplab{_v2,_v3}
+(`zebrapose/utils_v2.py` dict format with `model_state_dict`) and trains
+from torchvision resnet34 pretrained weights (`model/resnet.py:186-189`).
+This module maps those state dicts weight-for-weight onto the
+`ZebraPoseNet` parameter tree (NHWC kernels, BN running stats under
+`batch_stats`).
+
+Conventions:
+  * conv weight  [out,in,kh,kw]  -> kernel [kh,kw,in,out]
+  * convT weight [in,out,kh,kw]  -> kernel [kh,kw,out,in]
+    (both are .transpose(2,3,1,0))
+  * BN weight/bias/running_mean/running_var -> scale/bias/mean/var
+  * DDP "module." prefixes (train_v5 checkpoints) are stripped.
+
+Only numpy/flax needed at import; torch is needed by callers to load the
+.pth file itself.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+from flax.traverse_util import unflatten_dict
+
+_BLOCK_STAGES = (  # ours -> (torch prefix, num blocks)
+    ("layer1", "resnet.4", 3),
+    ("layer2", "resnet.5", 4),
+    ("layer4", "layer4", 6),
+    ("layer5", "layer5", 3),
+)
+
+_ASPP_CONVS = ("conv_1x1_1", "conv_3x3_1", "conv_3x3_2", "conv_3x3_3",
+               "conv_1x1_2", "conv_1x1_3")
+_ASPP_V3_CONVS = ("conv_1x1_1", "conv_3x3_1", "conv_3x3_2", "conv_1x1_2",
+                  "conv_1x1_3")
+
+
+def _np(t) -> np.ndarray:
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach")
+                      else t)
+
+
+def strip_ddp_prefix(sd: Dict[str, Any]) -> Dict[str, Any]:
+    return {k[len("module."):] if k.startswith("module.") else k: v
+            for k, v in sd.items()}
+
+
+class _TreeBuilder:
+    def __init__(self, sd: Dict[str, Any]):
+        self.sd = sd
+        self.params: Dict[Tuple[str, ...], np.ndarray] = {}
+        self.stats: Dict[Tuple[str, ...], np.ndarray] = {}
+
+    def conv(self, ours: Tuple[str, ...], theirs: str, bias: bool = False):
+        w = _np(self.sd[theirs + ".weight"]).transpose(2, 3, 1, 0)
+        self.params[ours + ("kernel",)] = w
+        if bias:
+            self.params[ours + ("bias",)] = _np(self.sd[theirs + ".bias"])
+
+    def convt(self, ours: Tuple[str, ...], theirs: str):
+        w = _np(self.sd[theirs + ".weight"]).transpose(2, 3, 1, 0)
+        self.params[ours + ("kernel",)] = w
+
+    def bn(self, ours: Tuple[str, ...], theirs: str):
+        self.params[ours + ("scale",)] = _np(self.sd[theirs + ".weight"])
+        self.params[ours + ("bias",)] = _np(self.sd[theirs + ".bias"])
+        self.stats[ours + ("mean",)] = _np(self.sd[theirs + ".running_mean"])
+        self.stats[ours + ("var",)] = _np(self.sd[theirs + ".running_var"])
+
+    def basic_block(self, ours: Tuple[str, ...], theirs: str):
+        self.conv(ours + ("conv1", "conv"), theirs + ".conv1")
+        self.bn(ours + ("bn1", "bn"), theirs + ".bn1")
+        self.conv(ours + ("conv2", "conv"), theirs + ".conv2")
+        self.bn(ours + ("bn2", "bn"), theirs + ".bn2")
+        if theirs + ".downsample.0.weight" in self.sd:
+            self.conv(ours + ("downsample_conv", "conv"),
+                      theirs + ".downsample.0")
+            self.bn(ours + ("downsample_bn", "bn"), theirs + ".downsample.1")
+
+    def conv_bn_relu(self, ours: Tuple[str, ...], conv_key: str,
+                     bn_key: str):
+        self.conv(ours + ("conv", "conv"), conv_key, bias=True)
+        self.bn(ours + ("bn", "bn"), bn_key)
+
+    def upsample(self, ours: Tuple[str, ...], theirs: str):
+        self.convt(ours + ("deconv",), theirs + ".0")
+        self.bn(ours + ("bn0", "bn"), theirs + ".1")
+        self.conv(ours + ("conv1", "conv"), theirs + ".3")
+        self.bn(ours + ("bn1", "bn"), theirs + ".4")
+        self.conv(ours + ("conv2", "conv"), theirs + ".6")
+        self.bn(ours + ("bn2", "bn"), theirs + ".7")
+
+    def aspp_trunk(self, ours_root: str, theirs_root: str, convs):
+        for name in convs:
+            self.conv_bn_relu((ours_root, name),
+                              f"{theirs_root}.{name}",
+                              f"{theirs_root}.bn_{name}")
+        self.upsample((ours_root, "upsample_1"), f"{theirs_root}.upsample_1")
+        self.upsample((ours_root, "upsample_2"), f"{theirs_root}.upsample_2")
+
+    def build(self):
+        return (unflatten_dict(self.params), unflatten_dict(self.stats))
+
+
+def convert_reference_state_dict(sd: Dict[str, Any], variant: str = "v2",
+                                 nonbinary: bool = False
+                                 ) -> Dict[str, Any]:
+    """Reference BinaryCodeNet state_dict -> {"params", "batch_stats"}.
+
+    `sd` is the torch `model_state_dict` (e.g. ckpt["model_state_dict"]).
+    """
+    sd = strip_ddp_prefix(sd)
+    tb = _TreeBuilder(sd)
+
+    # ---- backbone -------------------------------------------------------
+    root = "net.resnet"
+    tb.conv(("resnet", "conv1", "conv"), f"{root}.resnet.0")
+    tb.bn(("resnet", "bn1", "bn"), f"{root}.resnet.1")
+    for ours, theirs, n in _BLOCK_STAGES:
+        for i in range(n):
+            tb.basic_block(("resnet", f"{ours}_{i}"),
+                           f"{root}.{theirs}.{i}")
+
+    # ---- decoder(s) -----------------------------------------------------
+    if nonbinary:
+        tb.aspp_trunk("aspp", "net.aspp", _ASPP_CONVS)
+        tb.conv(("aspp", "conv_1x1_4_mask", "conv"),
+                "net.aspp.conv_1x1_4_mask", bias=True)
+        tb.conv(("aspp", "conv_1x1_4_code", "conv"),
+                "net.aspp.conv_1x1_4_code", bias=True)
+    else:
+        tb.aspp_trunk("aspp", "net.aspp", _ASPP_CONVS)
+        tb.conv(("aspp", "conv_1x1_4", "conv"), "net.aspp.conv_1x1_4",
+                bias=True)
+        if variant == "v3":
+            tb.aspp_trunk("aspp_v3", "net.aspp_v3", _ASPP_V3_CONVS)
+            tb.conv(("aspp_v3", "conv_1x1_4", "conv"),
+                    "net.aspp_v3.conv_1x1_4", bias=True)
+
+    params, stats = tb.build()
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_torchvision_resnet34(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """torchvision resnet34 state_dict -> partial trees for the backbone
+    stem/layer1/layer2 (what the reference actually loads pretrained,
+    model/resnet.py:184-199). Returns {"params", "batch_stats"} covering
+    only those leaves; merge over a fresh init with `merge_pretrained`.
+    """
+    tb = _TreeBuilder(sd)
+    tb.conv(("resnet", "conv1", "conv"), "conv1")
+    tb.bn(("resnet", "bn1", "bn"), "bn1")
+    for ours, theirs, n in (("layer1", "layer1", 3), ("layer2", "layer2", 4)):
+        for i in range(n):
+            tb.basic_block(("resnet", f"{ours}_{i}"), f"{theirs}.{i}")
+    params, stats = tb.build()
+    return {"params": params, "batch_stats": stats}
+
+
+def merge_pretrained(variables: Dict[str, Any],
+                     pretrained: Dict[str, Any]) -> Dict[str, Any]:
+    """Deep-merge converted pretrained leaves over freshly-initialized
+    variables, with shape checks."""
+
+    def merge(dst, src, path=()):
+        out = dict(dst)
+        for k, v in src.items():
+            if isinstance(v, dict):
+                out[k] = merge(dst.get(k, {}), v, path + (k,))
+            else:
+                if k in dst and np.shape(dst[k]) != np.shape(v):
+                    raise ValueError(
+                        f"shape mismatch at {'/'.join(path + (k,))}: "
+                        f"{np.shape(dst[k])} vs {np.shape(v)}")
+                out[k] = np.asarray(v)
+        return out
+
+    out = dict(variables)
+    for coll in ("params", "batch_stats"):
+        if coll in pretrained:
+            out[coll] = merge(variables.get(coll, {}), pretrained[coll])
+    return out

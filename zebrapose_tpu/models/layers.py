@@ -1,0 +1,138 @@
+"""Torch-semantics primitive layers in Flax linen (NHWC).
+
+The reference model is plain torchvision-style PyTorch; to make its
+checkpoints convertible and activations bit-comparable, these wrappers pin
+the exact padding / BN / transposed-conv semantics PyTorch uses (XLA's
+SAME padding differs for even inputs, and flax's ConvTranspose padding
+convention differs from torch's (padding, output_padding) pair).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class TorchConv(nn.Module):
+    """nn.Conv2d equivalent: explicit symmetric padding, HWIO kernel."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding),
+                     (self.padding, self.padding)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class TorchConvTranspose(nn.Module):
+    """nn.ConvTranspose2d(k, s, padding=p, output_padding=op) equivalent.
+
+    Kernel stored [kh, kw, out, in]; applied with
+    lax.conv_transpose(transpose_kernel=True,
+    padding=(k-1-p, k-1-p+op)) — verified numerically against torch.
+    """
+
+    features: int
+    in_features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform",
+                                             in_axis=(0, 1, 3)),
+            (k, k, self.features, self.in_features), jnp.float32)
+        lo = k - 1 - self.padding
+        hi = k - 1 - self.padding + self.output_padding
+        y = jax.lax.conv_transpose(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            strides=(self.stride, self.stride),
+            padding=((lo, hi), (lo, hi)),
+            transpose_kernel=True,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+class TorchBatchNorm(nn.Module):
+    """nn.BatchNorm2d equivalent (momentum 0.1 torch == 0.9 flax, eps 1e-5)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+
+
+def max_pool_3x3_s2_p1(x: jnp.ndarray) -> jnp.ndarray:
+    """torch nn.MaxPool2d(3, stride=2, padding=1) on NHWC."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+def interpolate_bilinear(x: jnp.ndarray, out_hw: Tuple[int, int]
+                         ) -> jnp.ndarray:
+    """F.interpolate(mode='bilinear', align_corners=False) on NHWC.
+
+    Half-pixel source mapping, edge clamp, no antialiasing (torch default;
+    jax.image.resize antialiases on downscale so it can't be used here).
+    """
+    n, h, w, c = x.shape
+    oh, ow = out_hw
+    if (oh, ow) == (h, w):
+        return x
+
+    def coords(out_size, in_size):
+        s = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (
+            in_size / out_size) - 0.5
+        s = jnp.clip(s, 0.0, in_size - 1.0)
+        i0 = jnp.floor(s).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, in_size - 1)
+        f = s - i0
+        return i0, i1, f
+
+    y0, y1, fy = coords(oh, h)
+    x0, x1, fx = coords(ow, w)
+    top = x[:, y0][:, :, x0] * (1 - fx)[None, None, :, None] + \
+        x[:, y0][:, :, x1] * fx[None, None, :, None]
+    bot = x[:, y1][:, :, x0] * (1 - fx)[None, None, :, None] + \
+        x[:, y1][:, :, x1] * fx[None, None, :, None]
+    return top * (1 - fy)[None, :, None, None] + \
+        bot * fy[None, :, None, None]
