@@ -1,0 +1,92 @@
+"""Headline benchmark: crops/sec/chip for the full on-device pipeline
+256x256 crop -> ZebraPoseNet v2 forward (bf16) -> binarize -> surface-code
+decode -> batched EPnP+RANSAC pose, i.e. the reference's test.py hot loop
+(net forward + CNN_outputs_to_object_pose) as ONE compiled XLA program.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "crops/sec/chip", "vs_baseline": N}
+
+vs_baseline: the reference records no throughput number anywhere
+(BASELINE.md); we anchor against a generous estimate of 20 crops/sec for
+the reference GPU path (batch-1 torch forward + per-pixel Python decode +
+CPU Progressive-X/EPnP RANSAC — the decode alone is a Python loop over
+~10k pixels). The >5x target therefore means value >= 100.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_CROPS_PER_SEC_ESTIMATE = 20.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from zebrapose_tpu.models.zebra_net import ZebraPoseNet
+    from zebrapose_tpu.ops.binarize import code_from_logits, mask_from_logits
+    from zebrapose_tpu.ops.pnp import PnPConfig, decode_to_pose
+
+    batch = 16
+    n_bits = 16
+    rng = np.random.default_rng(0)
+
+    model = ZebraPoseNet(binary_code_length=n_bits, variant="v2",
+                         concat=True, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 256, 256, 3), jnp.float32),
+                           train=False)
+
+    lut_points = jnp.asarray(
+        rng.uniform(-40, 40, size=(2 ** n_bits, 3)).astype(np.float32))
+    lut_valid = jnp.ones((2 ** n_bits,), bool)
+    K = jnp.asarray(np.array([[572.4114, 0, 325.2611],
+                              [0, 573.57043, 242.04899],
+                              [0, 0, 1]], np.float32))
+    bboxes = jnp.asarray(
+        np.tile(np.array([[200, 150, 128, 128]], np.int32), (batch, 1)))
+    cfg = PnPConfig(n_hypotheses=128, max_points=2048)
+
+    def pipeline(variables, images, bboxes, key):
+        out = model.apply(variables, images, train=False)
+        masks = mask_from_logits(out["mask"][..., 0].astype(jnp.float32))
+        codes = code_from_logits(out["code"].astype(jnp.float32))
+        keys = jax.random.split(key, images.shape[0])
+
+        def one(mask, code, bbox, k):
+            return decode_to_pose(mask, code, lut_points, lut_valid, bbox,
+                                  K, k, bbox_size=128, cfg=cfg)
+
+        Rs, ts, ok, n_in = jax.vmap(one)(masks, codes, bboxes, keys)
+        return Rs, ts, ok
+
+    pipeline_jit = jax.jit(pipeline)
+    images = jnp.asarray(
+        rng.normal(size=(batch, 256, 256, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+
+    # warmup/compile
+    jax.block_until_ready(pipeline_jit(variables, images, bboxes, key))
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = pipeline_jit(variables, images, bboxes,
+                           jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    crops_per_sec = batch * iters / dt
+    print(json.dumps({
+        "metric": "crops/sec/chip (256^2 enc-dec + decode + EPnP-RANSAC)",
+        "value": round(crops_per_sec, 2),
+        "unit": "crops/sec/chip",
+        "vs_baseline": round(crops_per_sec /
+                             REFERENCE_CROPS_PER_SEC_ESTIMATE, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Device mesh + sharding helpers (replaces torch DDP/NCCL, train_v5.py).
+
+Single-controller JAX data parallelism: parameters replicated, batch
+sharded over the 'data' mesh axis. Gradient averaging, BatchNorm batch
+statistics and metric means become XLA collectives inserted by GSPMD —
+there is no hand-written allreduce anywhere (and the global-batch BN and
+true metric means fix the reference's per-replica BN and its sum-vs-mean
+metric bug, SURVEY.md §2.7).
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh()` and
+the same code spans hosts over DCN (the reference's --dist-url/--rank
+plumbing has no equivalent here by design).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[Any]] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host batch dict onto the mesh, sharded over devices."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def scale_for_world(learning_rate: float, total_iteration: int,
+                    world_size: int) -> tuple[float, int]:
+    """The reference's DDP scaling recipe (train_v5.py:82-91):
+    lr *= world_size, iterations //= world_size."""
+    return learning_rate * world_size, total_iteration // world_size
