@@ -1,0 +1,292 @@
+"""Host dataset + on-device preprocessing pipeline.
+
+Division of labor (vs the reference's CPU DataLoader workers doing imread,
+imgaug, 4 cv2 warps and Python bit-decoding per sample,
+`bop_dataset_pytorch.py:387-497`):
+
+  * HOST (this file's `CropDatasetHost`): byte I/O only — cv2.imread of
+    rgb / GT label / masks, integer bbox bookkeeping (pad / jitter /
+    square / final), nothing per-pixel.
+  * DEVICE (`preprocess_batch`, one jitted program): crop+resize of all
+    four tensors (linear for rgb, nearest for GT/masks), GDR-Net color
+    augmentation, ImageNet normalization, label RGB -> class id -> code
+    planes. vmapped over the batch and fused by XLA.
+
+Channel-order quirk preserved on purpose: the reference loads BGR with
+cv2 and normalizes it with RGB ImageNet stats without swapping
+(PIL .convert('RGB') on an ndarray is a no-op) — trained checkpoints
+expect BGR-ordered channels, so we keep BGR end to end.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zebrapose_tpu.codec.surface_code import (
+    class_id_to_code,
+    rgb_to_class_id,
+)
+from zebrapose_tpu.models.zebra_net import normalize_image
+from zebrapose_tpu.ops.augment import augment_batch
+from zebrapose_tpu.ops.roi import (
+    augment_bbox,
+    extract_roi_affine,
+    extract_roi_clipped,
+    extract_roi_square,
+    final_bbox,
+    padding_bbox,
+    square_bbox,
+    warp_affine_params,
+)
+
+
+# ---------------------------------------------------------------------------
+# Device-side preprocessing
+# ---------------------------------------------------------------------------
+
+def _roi(imgs, param, crop, method, interpolation):
+    if method == "crop_square_resize":
+        fn = lambda im, p: extract_roi_square(im, p, crop, interpolation)
+    elif method == "crop_resize":
+        fn = lambda im, p: extract_roi_clipped(im, p, crop, interpolation)
+    elif method == "crop_resize_by_warp_affine":
+        fn = lambda im, p: extract_roi_affine(im, p, crop, interpolation)
+    else:
+        raise NotImplementedError(method)
+    return jax.vmap(fn)(imgs, param)
+
+
+@partial(jax.jit, static_argnames=("crop_img", "crop_gt", "base", "n_bits",
+                                   "is_train", "resize_method",
+                                   "use_pepper_salt", "use_motion_blur"))
+def preprocess_batch(raw: Dict[str, jnp.ndarray], key: jax.Array,
+                     crop_img: int = 256, crop_gt: int = 128,
+                     base: int = 2, n_bits: int = 16,
+                     is_train: bool = True,
+                     resize_method: str = "crop_square_resize",
+                     use_pepper_salt: bool = False,
+                     use_motion_blur: bool = False
+                     ) -> Dict[str, jnp.ndarray]:
+    """raw: {"rgb" [N,H,W,3]u8 BGR, "label" [N,H,W,3]u8,
+    "mask" [N,H,W]u8, "entire_mask" [N,H,W]u8, "roi_param"
+    ([N,5]i32 square | [N,4]i32 clipped | [N,3]f32 affine),
+    "valid" [N]f32 (0 for dummy/no-detection samples)}.
+
+    Returns the model batch {"image", "mask", "entire_mask", "code"}.
+    """
+    rgb = raw["rgb"].astype(jnp.float32)
+    p = raw["roi_param"]
+    roi_rgb = _roi(rgb, p, crop_img, resize_method, "linear")
+    if is_train:
+        roi_rgb = augment_batch(roi_rgb, key, use_pepper_salt,
+                                use_motion_blur)
+    image = normalize_image(roi_rgb / 255.0)
+
+    label = raw["label"].astype(jnp.float32)
+    roi_label = _roi(label, p, crop_gt, resize_method, "nearest")
+    ids = rgb_to_class_id(jnp.round(roi_label).astype(jnp.int32))
+    code = class_id_to_code(ids, base=base, n_digits=n_bits)
+
+    def _mask_roi(m):
+        r = _roi(m.astype(jnp.float32)[..., None], p, crop_gt,
+                 resize_method, "nearest")
+        return r[..., 0] / 255.0
+
+    mask = _mask_roi(raw["mask"])
+    entire = _mask_roi(raw["entire_mask"])
+
+    valid = raw["valid"][:, None, None]
+    return {
+        "image": image * valid[..., None],
+        "mask": mask * valid,
+        "entire_mask": entire * valid,
+        "code": code * valid[..., None],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Host dataset
+# ---------------------------------------------------------------------------
+
+class CropDatasetHost:
+    """Host-side sample provider for one object.
+
+    Mirrors bop_dataset_single_obj_pytorch(_v2) inputs/contract but emits
+    raw full-resolution arrays + bbox params; the crop itself happens on
+    device. `gt_dir_suffix` selects `<split>_GT` (v1 labels) vs
+    `<split>_GT_v2` (symmetry-canonicalized labels).
+    """
+
+    def __init__(self, dataset_dir: str, data_folder: str,
+                 rgb_files: Sequence[str],
+                 mask_files: Sequence[Sequence[str]],
+                 mask_visib_files: Sequence[Sequence[str]],
+                 gts: Sequence[Optional[dict]],
+                 gt_infos: Sequence[Optional[dict]],
+                 cam_params: Sequence[dict],
+                 is_train: bool,
+                 crop_size_img: int = 256, crop_size_gt: int = 128,
+                 padding_ratio: float = 1.5,
+                 resize_method: str = "crop_square_resize",
+                 gt_dir_suffix: str = "_GT_v2",
+                 detect_bboxes: Optional[Sequence] = None,
+                 seed: int = 0):
+        self.dataset_dir = dataset_dir
+        self.data_folder = data_folder
+        self.rgb_files = list(rgb_files)
+        self.mask_files = list(mask_files)
+        self.mask_visib_files = list(mask_visib_files)
+        self.gts = list(gts)
+        self.gt_infos = list(gt_infos)
+        self.cam_params = list(cam_params)
+        self.is_train = is_train
+        self.crop_size_img = crop_size_img
+        self.crop_size_gt = crop_size_gt
+        self.padding_ratio = padding_ratio
+        self.resize_method = resize_method
+        self.gt_dir_suffix = gt_dir_suffix
+        self.detect_bboxes = detect_bboxes
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.rgb_files)
+
+    def _gt_label_path(self, idx: int) -> str:
+        rgb_fn = self.rgb_files[idx]
+        scene_id = rgb_fn.split("/")[-3]
+        name = os.path.basename(self.mask_visib_files[idx][0])
+        return os.path.join(self.dataset_dir,
+                            self.data_folder + self.gt_dir_suffix,
+                            scene_id, name)
+
+    def _roi_param(self, bbox, im_shape):
+        """Integer/float bbox bookkeeping -> device roi param + final bbox."""
+        h, w = im_shape[:2]
+        if self.resize_method == "crop_square_resize":
+            x1, y1, x2, y2, side = square_bbox(bbox)
+            param = np.array([x1, y1, x2, y2, max(side, 1)], np.int32)
+        elif self.resize_method == "crop_resize":
+            fb = final_bbox(bbox, "crop_resize", w, h)
+            param = np.array([fb[0], fb[1], max(fb[2], 1),
+                              max(fb[3], 1)], np.int32)
+        else:  # crop_resize_by_warp_affine
+            cx, cy, scale = warp_affine_params(bbox, (h, w))
+            param = np.array([cx, cy, max(scale, 1e-3)], np.float32)
+        fb = final_bbox(bbox, self.resize_method, w, h)
+        return param, fb.astype(np.int64)
+
+    def get_raw(self, idx: int) -> Dict[str, np.ndarray]:
+        rgb = cv2.imread(self.rgb_files[idx])
+        if rgb is None:
+            raise FileNotFoundError(self.rgb_files[idx])
+        if rgb.ndim == 2:  # itodd gray
+            rgb = np.stack([rgb] * 3, axis=-1)
+        h, w = rgb.shape[:2]
+
+        def _read_mask(path):
+            m = cv2.imread(path, 0) if path and os.path.exists(path) \
+                else None
+            return m if m is not None else np.zeros((h, w), np.uint8)
+
+        mask = _read_mask(self.mask_visib_files[idx][0])
+        entire = _read_mask(self.mask_files[idx][0])
+        gt_path = self._gt_label_path(idx)
+        label = cv2.imread(gt_path)
+        if label is None:
+            label = np.zeros((h, w, 3), np.uint8)
+
+        gt = self.gts[idx]
+        if gt is not None:
+            R = np.asarray(gt["cam_R_m2c"], np.float64).reshape(3, 3)
+            t = np.asarray(gt["cam_t_m2c"], np.float64).reshape(3)
+        else:
+            R = np.eye(3)
+            t = np.zeros(3)
+        K = np.asarray(self.cam_params[idx]["cam_K"],
+                       np.float64).reshape(3, 3)
+
+        valid = 1.0
+        if self.is_train:
+            bbox = np.asarray(self.gt_infos[idx]["bbox_visib"])
+            bbox = augment_bbox(bbox, self.padding_ratio, self.rng)
+        else:
+            if self.detect_bboxes is not None:
+                det = self.detect_bboxes[idx]
+                if det is None:
+                    det = np.array([0, 0, 1, 1])
+                    valid = 0.0
+                bbox = np.asarray(det)
+            else:
+                bbox = np.asarray(self.gt_infos[idx]["bbox_visib"])
+            if np.all(np.isclose(bbox, -1)):
+                bbox = np.array([0, 0, 1, 1])
+                valid = 0.0
+            bbox = padding_bbox(bbox, self.padding_ratio)
+
+        param, fb = self._roi_param(bbox, rgb.shape)
+        return {"rgb": rgb, "label": label, "mask": mask,
+                "entire_mask": entire, "roi_param": param,
+                "final_bbox": fb, "R": R.astype(np.float32),
+                "t": t.astype(np.float32), "K": K.astype(np.float32),
+                "valid": np.float32(valid)}
+
+    def collate(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
+        rows = [self.get_raw(i) for i in indices]
+        return {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+
+
+class MixedBatchIterator:
+    """Infinite mixed real+pbr batches (reference: two DataLoaders whose
+    batches are concatenated each step, train_v2.py:228-244; split sizes
+    from common_ops.get_batch_size) with background prefetch."""
+
+    def __init__(self, ds1: CropDatasetHost,
+                 ds2: Optional[CropDatasetHost],
+                 batch_size: int, second_dataset_ratio: float = 0.75,
+                 seed: int = 0, prefetch: int = 2):
+        self.ds1, self.ds2 = ds1, ds2
+        if ds2 is not None and len(ds2) > 0:
+            self.n2 = int(batch_size * second_dataset_ratio)
+        else:
+            self.n2 = 0
+            self.ds2 = None
+        self.n1 = batch_size - self.n2
+        self.rng = np.random.default_rng(seed)
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _draw(self, ds, n):
+        return self.rng.integers(0, len(ds), size=n)
+
+    def _worker(self):
+        while not self._stop.is_set():
+            b1 = self.ds1.collate(self._draw(self.ds1, self.n1))
+            if self.ds2 is not None:
+                b2 = self.ds2.collate(self._draw(self.ds2, self.n2))
+                b1 = {k: np.concatenate([b1[k], b2[k]]) for k in b1}
+            while not self._stop.is_set():
+                try:
+                    self._q.put(b1, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> Dict[str, np.ndarray]:
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
