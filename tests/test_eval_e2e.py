@@ -83,7 +83,7 @@ def _build_scene(tmp_path, n_imgs=3):
                      cams), lut
 
 
-def _gt_oracle_forward(batch):
+def _gt_oracle_forward(batch, variables=None):
     """A 'perfectly trained network': logits straight from the GT planes
     the preprocess program produced for this batch."""
     mask_logits = (batch["mask"] * 20.0 - 10.0)[..., None]

@@ -66,8 +66,11 @@ def make_eval_step(forward_fn, lut: CorrespondenceLUT,
                    pnp_cfg: PnPConfig, ignore_bits: int = 0):
     """Build the jitted batch program: raw images -> (R, t, success).
 
-    forward_fn(batch) -> {"mask", "code", ...} logits; for the real model
-    use `lambda b: model.apply(variables, b["image"], train=False)`.
+    forward_fn(batch, variables) -> {"mask", "code", ...} logits; for the
+    real model use
+    `lambda b, v: model.apply(v, b["image"], train=False)`. `variables`
+    is threaded through the jitted step so one compiled program serves
+    every validation checkpoint during training.
     """
     if ignore_bits:
         lut = reduce_lut_ignore_bits(lut, ignore_bits)
@@ -75,11 +78,11 @@ def make_eval_step(forward_fn, lut: CorrespondenceLUT,
     lut_valid = jnp.asarray(lut.valid)
 
     @jax.jit
-    def step(raw, final_bbox, K, key):
+    def step(raw, final_bbox, K, key, variables):
         batch = preprocess_batch(
             raw, key, crop_img=crop_img, crop_gt=crop_gt, base=base,
             n_bits=n_bits, is_train=False, resize_method=resize_method)
-        out = forward_fn(batch)
+        out = forward_fn(batch, variables)
         masks = mask_from_logits(out["mask"][..., 0])
         codes = code_from_logits(out["code"], loss_type, base=base)
         if ignore_bits:
@@ -111,8 +114,8 @@ def make_eval_step(forward_fn, lut: CorrespondenceLUT,
 
 
 def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
-                  seed: int = 0) -> Tuple[np.ndarray, np.ndarray,
-                                          np.ndarray]:
+                  seed: int = 0, variables=None
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Run the jitted eval step over the dataset. Returns (R, t, success)."""
     n = len(dataset)
     Rs = np.zeros((n, 3, 3), np.float32)
@@ -127,7 +130,8 @@ def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
                                     "roi_param", "valid")}
         R_b, t_b, ok_b, _ = eval_step(
             feed, jnp.asarray(raw["final_bbox"].astype(np.int32)),
-            jnp.asarray(raw["K"]), jax.random.fold_in(key, start))
+            jnp.asarray(raw["K"]), jax.random.fold_in(key, start),
+            {} if variables is None else variables)
         m = len(idx)
         Rs[start:start + m] = np.asarray(R_b)[:m]
         ts[start:start + m] = np.asarray(t_b)[:m]
@@ -179,9 +183,10 @@ def evaluate_object(dataset: CropDatasetHost, eval_step,
                     symmetric: bool, obj_id: int, dataset_name: str,
                     obj_name: str, output_dir: Optional[str] = None,
                     scores: Optional[Sequence[float]] = None,
-                    batch_size: int = 16) -> EvalResult:
+                    batch_size: int = 16, variables=None) -> EvalResult:
     """Full single-object evaluation + artifact dump (CSV, add_err.txt)."""
-    Rs, ts, ok = run_inference(dataset, eval_step, batch_size)
+    Rs, ts, ok = run_inference(dataset, eval_step, batch_size,
+                               variables=variables)
     # reference: failed images get identity R / zero t in the CSV
     for i in range(len(dataset)):
         if not ok[i]:

@@ -1,0 +1,267 @@
+"""Training orchestration — the reference train_v2/v5 loop, TPU-native.
+
+Wires config -> datasets -> sharded train loop with the reference's
+cadence (train_v2.py:226-344): every `log_freq` (1000) steps it logs the
+bit-error histogram, saves a rolling checkpoint, runs validation (full
+decode -> EPnP -> ADD recall, like test_network_with_test_data_v2) and
+keeps the best checkpoint by recall. Data parallelism comes from the mesh
+sharding (train_v5's DDP recipe: lr x world, iters / world, via
+`scale_for_world`).
+
+`build_train_setup` needs a real BOP tree on disk; `fit` is pure
+orchestration over injected resources so it is testable with synthetic
+data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zebrapose_tpu.codec.lut import CorrespondenceLUT
+from zebrapose_tpu.config import ZebraConfig
+from zebrapose_tpu.data.pipeline import (
+    CropDatasetHost,
+    MixedBatchIterator,
+    preprocess_batch,
+)
+from zebrapose_tpu.eval.evaluate import (
+    evaluate_object,
+    make_eval_step,
+)
+from zebrapose_tpu.models.losses import CodeLossConfig
+from zebrapose_tpu.models.zebra_net import ZebraPoseNet
+from zebrapose_tpu.ops.pnp import PnPConfig
+from zebrapose_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    scale_for_world,
+    shard_batch,
+)
+from zebrapose_tpu.train.checkpoints import CheckpointManager
+from zebrapose_tpu.train.state import TrainState, create_train_state
+from zebrapose_tpu.train.train_step import train_step
+from zebrapose_tpu.utils.logging import MetricsLogger
+
+
+@dataclasses.dataclass
+class TrainResources:
+    cfg: ZebraConfig
+    model: ZebraPoseNet
+    state: TrainState
+    mesh: object
+    train_iter: MixedBatchIterator
+    val_dataset: Optional[CropDatasetHost]
+    lut: CorrespondenceLUT
+    vertices: np.ndarray
+    diameter: float
+    symmetric: bool
+    obj_id: int
+    obj_name: str
+    ckpt: CheckpointManager
+    logger: MetricsLogger
+    total_iterations: int
+    pnp_cfg: PnPConfig = PnPConfig()
+    val_batch_size: int = 16
+
+
+def _loss_cfg(cfg: ZebraConfig) -> CodeLossConfig:
+    return CodeLossConfig(
+        loss_type=cfg.BinaryCode_Loss_Type,
+        mask_code_loss=cfg.mask_binary_code_loss,
+        use_histogram_weighting=cfg.use_histgramm_weighted_binary_loss,
+        base=cfg.divide_number_each_itration,
+        n_bits=cfg.number_of_itration)
+
+
+def fit(res: TrainResources, log_freq: int = 1000,
+        validate: bool = True, max_steps: Optional[int] = None) -> float:
+    """Run the training loop; returns the best validation recall."""
+    cfg = res.cfg
+    loss_cfg = _loss_cfg(cfg)
+    model = res.model
+    state = res.state
+
+    # replicate state over the mesh once
+    state = state.replace(**{
+        f: replicate(res.mesh, getattr(state, f))
+        for f in ("step", "params", "batch_stats", "opt_state",
+                  "histogram", "best_score")})
+
+    eval_step = None
+    if validate and res.val_dataset is not None:
+        eval_step = make_eval_step(
+            lambda b, v: model.apply(v, b["image"], train=False),
+            res.lut, crop_img=cfg.BoundingBox_CropSize_image,
+            crop_gt=cfg.BoundingBox_CropSize_GT,
+            base=cfg.divide_number_each_itration,
+            n_bits=cfg.number_of_itration,
+            resize_method=cfg.resize_method,
+            loss_type=cfg.BinaryCode_Loss_Type, pnp_cfg=res.pnp_cfg)
+
+    key = jax.random.PRNGKey(0)
+    best = float(jax.device_get(state.best_score))
+    start_step = int(jax.device_get(state.step))
+    end_step = res.total_iterations if max_steps is None else \
+        min(start_step + max_steps, res.total_iterations)
+
+    for it in range(start_step, end_step):
+        raw = next(res.train_iter)
+        feed = {k: raw[k] for k in ("rgb", "label", "mask", "entire_mask",
+                                    "roi_param", "valid")}
+        batch = preprocess_batch(
+            shard_batch(res.mesh, feed), jax.random.fold_in(key, it),
+            crop_img=cfg.BoundingBox_CropSize_image,
+            crop_gt=cfg.BoundingBox_CropSize_GT,
+            base=cfg.divide_number_each_itration,
+            n_bits=cfg.number_of_itration, is_train=True,
+            resize_method=cfg.resize_method,
+            use_pepper_salt=cfg.use_peper_salt,
+            use_motion_blur=cfg.use_motion_blur)
+        state, metrics = train_step(
+            state, batch, loss_cfg,
+            binary_loss_weight=float(cfg.binary_loss_weight),
+            predict_entire_mask=cfg.predict_entire_mask)
+
+        if (it + 1) % log_freq == 0 or it + 1 == end_step:
+            scalars = {k: float(jax.device_get(v))
+                       for k, v in metrics.items()}
+            hist = np.asarray(jax.device_get(state.histogram))
+            scalars.update({f"bit_err_{i}": float(h)
+                            for i, h in enumerate(hist)})
+            res.logger.log(it + 1, scalars, prefix="train/")
+            res.ckpt.save(state)
+
+            if eval_step is not None:
+                variables = {"params": jax.device_get(state.params),
+                             "batch_stats":
+                                 jax.device_get(state.batch_stats)}
+                r = evaluate_object(
+                    res.val_dataset, eval_step, res.vertices,
+                    res.diameter, res.symmetric, res.obj_id, "val",
+                    res.obj_name, batch_size=res.val_batch_size,
+                    variables=variables)
+                prefix = "ADD-S" if res.symmetric else "ADD"
+                recall = r.metrics[f"{prefix}_recall_0.1d"]
+                res.logger.log(it + 1, r.metrics, prefix="val/")
+                if recall > best:
+                    best = recall
+                    state = state.replace(
+                        best_score=jnp.full((), best, jnp.float32))
+                    res.ckpt.save_best(state, best)
+    return best
+
+
+def build_train_setup(cfg: ZebraConfig, obj_name: str,
+                      output_dir: str,
+                      mesh=None,
+                      gt_dir_suffix: str = "_GT_v2",
+                      variant: str = "v2",
+                      pretrained_backbone: Optional[str] = None,
+                      max_val_samples: int = 512) -> TrainResources:
+    """Assemble TrainResources from a real BOP tree (train_v2.py:40-223).
+
+    pretrained_backbone: optional path to a torchvision resnet34 .pth —
+    converted and merged into the fresh init like the reference does.
+    """
+    from zebrapose_tpu.data import bop_io
+    from zebrapose_tpu.data.dataset_info import get_obj_info, is_symmetric
+    from zebrapose_tpu.codec.lut import load_correspondence_lut
+
+    names, _ = get_obj_info(cfg.dataset_name)
+    obj_id = names[obj_name]
+
+    train1 = bop_io.get_dataset(
+        cfg.bop_path, cfg.dataset_name, train=True,
+        data_folder=cfg.training_data_folder,
+        train_obj_visible_theshold=cfg.train_obj_visible_theshold)
+    ds1 = CropDatasetHost(
+        train1.dataset_dir, cfg.training_data_folder,
+        *train1.for_obj(obj_id), is_train=True,
+        crop_size_img=cfg.BoundingBox_CropSize_image,
+        crop_size_gt=cfg.BoundingBox_CropSize_GT,
+        padding_ratio=cfg.padding_ratio,
+        resize_method=cfg.resize_method, gt_dir_suffix=gt_dir_suffix)
+
+    ds2 = None
+    if cfg.training_data_folder_2 not in ("none", "", None):
+        train2 = bop_io.get_dataset(
+            cfg.bop_path, cfg.dataset_name, train=True,
+            data_folder=cfg.training_data_folder_2,
+            train_obj_visible_theshold=cfg.train_obj_visible_theshold)
+        ds2 = CropDatasetHost(
+            train2.dataset_dir, cfg.training_data_folder_2,
+            *train2.for_obj(obj_id), is_train=True,
+            crop_size_img=cfg.BoundingBox_CropSize_image,
+            crop_size_gt=cfg.BoundingBox_CropSize_GT,
+            padding_ratio=cfg.padding_ratio,
+            resize_method=cfg.resize_method, gt_dir_suffix=gt_dir_suffix)
+
+    val = bop_io.get_dataset(cfg.bop_path, cfg.dataset_name, train=False,
+                             data_folder=cfg.val_folder)
+    val_lists = val.for_obj(obj_id)
+    if len(val_lists[0]) > max_val_samples:
+        sel = np.linspace(0, len(val_lists[0]) - 1,
+                          max_val_samples).astype(int)
+        val_lists = tuple([lst[i] for i in sel] for lst in val_lists)
+    val_ds = CropDatasetHost(
+        val.dataset_dir, cfg.val_folder, *val_lists, is_train=False,
+        crop_size_img=cfg.BoundingBox_CropSize_image,
+        crop_size_gt=cfg.BoundingBox_CropSize_GT,
+        padding_ratio=cfg.padding_ratio,
+        resize_method=cfg.resize_method, gt_dir_suffix=gt_dir_suffix)
+
+    lut = load_correspondence_lut(os.path.join(
+        cfg.bop_path, cfg.dataset_name, "models_GT_color",
+        f"Class_CorresPoint{obj_id:06d}.txt"))
+    mesh_data = bop_io.load_ply(train1.model_plys[obj_id])
+    vertices = mesh_data["pts"].astype(np.float32)
+    diameter = float(train1.model_info[str(obj_id)]["diameter"])
+
+    model = ZebraPoseNet(
+        binary_code_length=cfg.number_of_itration,
+        base=cfg.divide_number_each_itration, variant=variant,
+        concat=cfg.concat_encoder_decoder,
+        output_kernel_size=cfg.output_kernel_size)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.BoundingBox_CropSize_image,
+                   cfg.BoundingBox_CropSize_image, 3)), train=False)
+    variables = dict(variables)
+    if pretrained_backbone:
+        import torch
+        from zebrapose_tpu.models.convert_torch import (
+            convert_torchvision_resnet34, merge_pretrained)
+        sd = torch.load(pretrained_backbone, map_location="cpu")
+        variables = merge_pretrained(variables,
+                                     convert_torchvision_resnet34(sd))
+
+    if mesh is None:
+        mesh = make_mesh()
+    world = mesh.devices.size
+    lr, iters = scale_for_world(cfg.learning_rate, cfg.total_iteration,
+                                world)
+    state = create_train_state(model, variables, learning_rate=lr,
+                               n_bits=cfg.number_of_itration)
+
+    ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
+    if cfg.load_checkpoint:
+        state = ckpt.restore(state)
+    logger = MetricsLogger(os.path.join(output_dir, "logs"))
+
+    train_iter = MixedBatchIterator(
+        ds1, ds2, batch_size=cfg.batch_size,
+        second_dataset_ratio=cfg.second_dataset_ratio)
+
+    return TrainResources(
+        cfg=cfg, model=model, state=state, mesh=mesh,
+        train_iter=train_iter, val_dataset=val_ds, lut=lut,
+        vertices=vertices, diameter=diameter,
+        symmetric=is_symmetric(cfg.dataset_name, obj_name),
+        obj_id=obj_id, obj_name=obj_name, ckpt=ckpt, logger=logger,
+        total_iterations=iters)
