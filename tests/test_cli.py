@@ -1,0 +1,98 @@
+"""CLI subcommand tests (the cheap offline commands; train/test mains are
+covered via their library functions in test_trainer/test_eval_e2e)."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from test_generate_gt import _sphere_obj
+from zebrapose_tpu.cli import main
+
+
+def test_merge_csv_cli(tmp_path):
+    a = tmp_path / "a.csv"
+    b = tmp_path / "b.csv"
+    a.write_text("scene_id,im_id,obj_id,score,R,t,time\n1,2,3,1.0,r,t,-1\n")
+    b.write_text("scene_id,im_id,obj_id,score,R,t,time\n4,5,6,0.5,r,t,-1\n")
+    out = tmp_path / "m.csv"
+    assert main(["merge-csv", str(a), str(b), "--out", str(out)]) == 0
+    assert len(out.read_text().splitlines()) == 3
+
+
+def test_generate_mesh_code_cli(tmp_path, capsys):
+    mesh = _sphere_obj(tmp_path, n_theta=20, n_phi=40)
+    txt = str(tmp_path / "corres.txt")
+    rc = main(["generate-mesh-code", "--mesh", mesh, "-d", "2", "-n", "8",
+               "--corres_txt", txt])
+    assert rc == 0
+    assert os.path.exists(txt)
+    header = open(txt).readline().split()
+    assert header[0] == "256" and header[1] == "2" and header[2] == "8"
+
+
+def test_generate_labels_cli(tmp_path):
+    # minimal BOP tree with mesh + one scene/one image/one GT instance
+    ds = tmp_path / "bop" / "lmo"
+    (ds / "models").mkdir(parents=True)
+    (ds / "models_eval").mkdir()
+    mesh_obj = _sphere_obj(tmp_path, n_theta=25, n_phi=50)
+    os.rename(mesh_obj, str(ds / "models" / "obj_000001.obj"))
+    # a ply must exist for bop_io model listing
+    from zebrapose_tpu.tools.generate_gt import load_obj
+    from zebrapose_tpu.data.bop_io import save_ply
+    m = load_obj(str(ds / "models" / "obj_000001.obj"))
+    for d in ("models", "models_eval"):
+        save_ply(str(ds / d / "obj_000001.ply"), m["pts"],
+                 faces=m["faces"])
+        (ds / d / "models_info.json").write_text(
+            json.dumps({"1": {"diameter": 80.0}}))
+    (ds / "camera.json").write_text(json.dumps(
+        {"cx": 64.0, "cy": 64.0, "fx": 400.0, "fy": 400.0,
+         "width": 128, "height": 128, "depth_scale": 1.0}))
+    scene = ds / "train_real" / "000001"
+    (scene / "rgb").mkdir(parents=True)
+    (scene / "mask").mkdir()
+    (scene / "mask_visib").mkdir()
+    cv2.imwrite(str(scene / "rgb" / "000000.png"),
+                np.zeros((128, 128, 3), np.uint8))
+    K = [400.0, 0.0, 64.0, 0.0, 400.0, 64.0, 0.0, 0.0, 1.0]
+    (scene / "scene_camera.json").write_text(json.dumps(
+        {"0": {"cam_K": K, "depth_scale": 1.0}}))
+    (scene / "scene_gt.json").write_text(json.dumps(
+        {"0": [{"cam_R_m2c": list(np.eye(3).reshape(-1)),
+                "cam_t_m2c": [0, 0, 450.0], "obj_id": 1}]}))
+    (scene / "scene_gt_info.json").write_text(json.dumps(
+        {"0": [{"bbox_visib": [30, 30, 68, 68], "visib_fract": 1.0}]}))
+
+    cfg = tmp_path / "cfg.txt"
+    cfg.write_text(f"""\
+bop_path = {tmp_path / 'bop'}
+dataset_name = lmo
+training_data_folder = train_real
+divide_number_each_itration = 2
+number_of_itration = 8
+train_obj_visible_theshold = 0.2
+""")
+    rc = main(["generate-labels", "--cfg", str(cfg), "--obj_name", "ape"])
+    assert rc == 0
+    label_fn = ds / "train_real_GT_v2" / "000001" / "000000_000000.png"
+    assert label_fn.exists()
+    lab = cv2.imread(str(label_fn))
+    ids = (lab[..., 0].astype(int) << 16) + (lab[..., 1].astype(int) << 8) \
+        + lab[..., 2]
+    assert (ids > 0).sum() > 500        # sphere visible
+    assert ids.max() < 256              # 8-bit code space
+    # corres table was generated alongside
+    assert (ds / "models_GT_color" / "Class_CorresPoint000001.txt").exists()
+
+
+def test_cli_help_lists_subcommands(capsys):
+    with pytest.raises(SystemExit):
+        main(["--help"])
+    out = capsys.readouterr().out
+    for cmd in ("train", "test", "vivo", "generate-mesh-code",
+                "generate-labels", "merge-csv"):
+        assert cmd in out

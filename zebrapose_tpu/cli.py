@@ -1,0 +1,145 @@
+"""Command-line interface mirroring the reference's script entrypoints.
+
+  python -m zebrapose_tpu train --cfg cfg.txt --obj_name ape
+  python -m zebrapose_tpu test  --cfg cfg.txt --obj_name ape \
+      --ckpt_file <ckpt dir or .pth> [--ignore_bit N] [--debug]
+  python -m zebrapose_tpu vivo  --cfg cfg.txt --obj_name obj01 \
+      --ckpt_file ...
+  python -m zebrapose_tpu generate-mesh-code --mesh m.obj -d 2 -n 16 ...
+  python -m zebrapose_tpu generate-labels --cfg cfg.txt --obj_name ape
+
+The config file is the reference's flat `key = value` format
+(config/config_BOP/...), reused verbatim.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--cfg", required=True, help="reference-format config")
+    p.add_argument("--obj_name", required=True)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="zebrapose_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="train one object (train_v2)")
+    _add_common(p_train)
+    p_train.add_argument("--output_dir", default="runs")
+    p_train.add_argument("--variant", default="v2",
+                         choices=["v1", "v2", "v3"])
+    p_train.add_argument("--pretrained_backbone", default=None,
+                         help="torchvision resnet34 .pth")
+    p_train.add_argument("--max_steps", type=int, default=None)
+    p_train.add_argument("--log_freq", type=int, default=1000)
+
+    p_test = sub.add_parser("test", help="evaluate one object (test.py)")
+    _add_common(p_test)
+    p_test.add_argument("--ckpt_file", required=True)
+    p_test.add_argument("--output_dir", default="eval_out")
+    p_test.add_argument("--ignore_bit", type=int, default=0)
+    p_test.add_argument("--variant", default="v2",
+                        choices=["v1", "v2", "v3"])
+    p_test.add_argument("--debug", action="store_true")
+    p_test.add_argument("--batch_size", type=int, default=16)
+    p_test.add_argument("--max_samples", type=int, default=None)
+
+    p_vivo = sub.add_parser("vivo",
+                            help="multi-instance eval (test_vivo)")
+    _add_common(p_vivo)
+    p_vivo.add_argument("--ckpt_file", required=True)
+    p_vivo.add_argument("--output_dir", default="eval_out")
+    p_vivo.add_argument("--variant", default="v2")
+    p_vivo.add_argument("--score_threshold", type=float, default=0.2)
+    p_vivo.add_argument("--batch_size", type=int, default=16)
+
+    p_mesh = sub.add_parser("generate-mesh-code",
+                            help="hierarchical surface encoding of a mesh")
+    p_mesh.add_argument("--mesh", required=True)
+    p_mesh.add_argument("-d", "--divide_number", type=int, default=2)
+    p_mesh.add_argument("-n", "--levels", type=int, default=16)
+    p_mesh.add_argument("--corres_txt", required=True)
+    p_mesh.add_argument("--colored_ply", default=None)
+
+    p_lab = sub.add_parser("generate-labels",
+                           help="render GT_v2 label images for a split")
+    _add_common(p_lab)
+    p_lab.add_argument("--data_folder", default=None,
+                       help="defaults to cfg.training_data_folder")
+    p_lab.add_argument("--force", action="store_true")
+
+    p_merge = sub.add_parser("merge-csv", help="merge per-object CSVs")
+    p_merge.add_argument("csvs", nargs="+")
+    p_merge.add_argument("--out", required=True)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "merge-csv":
+        from zebrapose_tpu.data.bop_writer import merge_csv
+        merge_csv(args.csvs, args.out)
+        print(f"merged {len(args.csvs)} files -> {args.out}")
+        return 0
+
+    if args.command == "generate-mesh-code":
+        from zebrapose_tpu.tools.generate_gt import (
+            generate_mesh_surface_code)
+        lut, _ = generate_mesh_surface_code(
+            args.mesh, args.divide_number, args.levels, args.corres_txt,
+            args.colored_ply)
+        print(f"{lut.num_classes} classes, "
+              f"{int(lut.valid.sum())} non-empty -> {args.corres_txt}")
+        return 0
+
+    from zebrapose_tpu.config import ZebraConfig
+    cfg = ZebraConfig.from_file(args.cfg)
+
+    if args.command == "train":
+        from zebrapose_tpu.train.trainer import build_train_setup, fit
+        out = os.path.join(args.output_dir,
+                           f"{cfg.dataset_name}_{args.obj_name}")
+        res = build_train_setup(
+            cfg, args.obj_name, out, variant=args.variant,
+            pretrained_backbone=args.pretrained_backbone)
+        best = fit(res, log_freq=args.log_freq, max_steps=args.max_steps)
+        print(f"best val recall: {best}")
+        return 0
+
+    if args.command == "test":
+        from zebrapose_tpu.eval.runner import run_test
+        metrics = run_test(
+            cfg, args.obj_name, args.ckpt_file, args.output_dir,
+            ignore_bit=args.ignore_bit, variant=args.variant,
+            debug=args.debug, batch_size=args.batch_size,
+            max_samples=args.max_samples)
+        print(json.dumps(metrics, indent=2))
+        return 0
+
+    if args.command == "vivo":
+        from zebrapose_tpu.eval.runner_vivo import run_vivo
+        metrics = run_vivo(
+            cfg, args.obj_name, args.ckpt_file, args.output_dir,
+            variant=args.variant, score_threshold=args.score_threshold,
+            batch_size=args.batch_size)
+        print(json.dumps(metrics, indent=2))
+        return 0
+
+    if args.command == "generate-labels":
+        from zebrapose_tpu.tools.label_driver import generate_labels_cli
+        n = generate_labels_cli(
+            cfg, args.obj_name,
+            data_folder=args.data_folder or cfg.training_data_folder,
+            force=args.force)
+        print(f"wrote {n} label images")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -63,7 +63,8 @@ def _pad_to(arrs: Dict[str, np.ndarray], size: int) -> Dict[str, np.ndarray]:
 def make_eval_step(forward_fn, lut: CorrespondenceLUT,
                    crop_img: int, crop_gt: int, base: int, n_bits: int,
                    resize_method: str, loss_type: str,
-                   pnp_cfg: PnPConfig, ignore_bits: int = 0):
+                   pnp_cfg: PnPConfig, ignore_bits: int = 0,
+                   return_masks: bool = False):
     """Build the jitted batch program: raw images -> (R, t, success).
 
     forward_fn(batch, variables) -> {"mask", "code", ...} logits; for the
@@ -107,20 +108,29 @@ def make_eval_step(forward_fn, lut: CorrespondenceLUT,
                               jax.random.fold_in(k, 2), pnp_cfg)
 
         keys = jax.random.split(key, masks.shape[0])
-        return jax.vmap(decode_one)(masks, codes, final_bbox, K, keys,
-                                    raw["valid"])
+        poses = jax.vmap(decode_one)(masks, codes, final_bbox, K, keys,
+                                     raw["valid"])
+        if return_masks:
+            entire = mask_from_logits(
+                out.get("entire_mask", out["mask"])[..., 0])
+            return poses + (masks, entire)
+        return poses
 
     return step
 
 
 def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
-                  seed: int = 0, variables=None
-                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Run the jitted eval step over the dataset. Returns (R, t, success)."""
+                  seed: int = 0, variables=None,
+                  collect_masks: bool = False):
+    """Run the jitted eval step over the dataset. Returns (R, t, success)
+    or, with collect_masks (eval step built with return_masks=True),
+    (R, t, success, visible_masks, entire_masks)."""
     n = len(dataset)
     Rs = np.zeros((n, 3, 3), np.float32)
     ts = np.zeros((n, 3), np.float32)
     ok = np.zeros((n,), bool)
+    vis_masks: List[np.ndarray] = []
+    ent_masks: List[np.ndarray] = []
     key = jax.random.PRNGKey(seed)
     for start in range(0, n, batch_size):
         idx = list(range(start, min(start + batch_size, n)))
@@ -128,14 +138,20 @@ def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
         raw = _pad_to(raw, batch_size)
         feed = {k: raw[k] for k in ("rgb", "label", "mask", "entire_mask",
                                     "roi_param", "valid")}
-        R_b, t_b, ok_b, _ = eval_step(
+        out = eval_step(
             feed, jnp.asarray(raw["final_bbox"].astype(np.int32)),
             jnp.asarray(raw["K"]), jax.random.fold_in(key, start),
             {} if variables is None else variables)
+        R_b, t_b, ok_b = out[0], out[1], out[2]
         m = len(idx)
         Rs[start:start + m] = np.asarray(R_b)[:m]
         ts[start:start + m] = np.asarray(t_b)[:m]
         ok[start:start + m] = np.asarray(ok_b)[:m]
+        if collect_masks:
+            vis_masks.extend(np.asarray(out[4])[:m])
+            ent_masks.extend(np.asarray(out[5])[:m])
+    if collect_masks:
+        return Rs, ts, ok, np.array(vis_masks), np.array(ent_masks)
     return Rs, ts, ok
 
 

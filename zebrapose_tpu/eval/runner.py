@@ -1,0 +1,237 @@
+"""Test-run orchestration — the reference test.py / test_vivo.py mains.
+
+Assembles dataset + detections + LUT + model + eval program from a
+ZebraConfig and runs the full evaluation, with the optional contour
+refinement pass (reference `refine` config + edge_refine import,
+test.py:276-313) and debug visualization dumps.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from zebrapose_tpu.codec.lut import load_correspondence_lut
+from zebrapose_tpu.config import ZebraConfig
+from zebrapose_tpu.data import bop_io, detections as det_mod
+from zebrapose_tpu.data.dataset_info import get_obj_info, is_symmetric
+from zebrapose_tpu.data.pipeline import CropDatasetHost
+from zebrapose_tpu.eval.evaluate import (
+    evaluate_object,
+    make_eval_step,
+    pose_errors,
+    run_inference,
+    summarize,
+)
+from zebrapose_tpu.models.zebra_net import ZebraPoseNet
+from zebrapose_tpu.ops.pnp import PnPConfig
+
+
+def load_model_variables(ckpt_file: str, model: ZebraPoseNet,
+                         variant: str, crop_size: int) -> Dict:
+    """Load model variables from either a reference torch .pth checkpoint
+    (converted on the fly) or an orbax checkpoint directory."""
+    import jax
+    import jax.numpy as jnp
+
+    if ckpt_file.endswith((".pth", ".pt")):
+        import torch
+        from zebrapose_tpu.models.convert_torch import (
+            convert_reference_state_dict)
+        ckpt = torch.load(ckpt_file, map_location="cpu")
+        sd = ckpt.get("model_state_dict", ckpt)
+        return convert_reference_state_dict(sd, variant=variant)
+
+    from zebrapose_tpu.train.checkpoints import CheckpointManager
+    from zebrapose_tpu.train.state import create_train_state
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, crop_size, crop_size, 3)),
+                           train=False)
+    state = create_train_state(model, dict(variables), 1e-4)
+    mgr = CheckpointManager(ckpt_file)
+    best = mgr.restore_best(state)
+    state = best if best is not None else mgr.restore(state)
+    return {"params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats)}
+
+
+def extract_visible_contour(entire_mask: np.ndarray,
+                            visible_mask: np.ndarray) -> np.ndarray:
+    """Contour pixels of the entire mask whose 3x3 neighborhood contains
+    visible-mask foreground (test.py:300-307). Returns [N,2] (x, y)."""
+    em = (entire_mask > 0.5).astype(np.uint8)
+    contours, _ = cv2.findContours(em, cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_NONE)
+    vis = (visible_mask > 0.5).astype(np.uint8)
+    h, w = vis.shape
+    pts = []
+    for cont in contours:
+        if len(cont) < 20:  # drop tiny contours (edge_refine.cpp:83-90)
+            continue
+        for p in cont[:, 0, :]:
+            x, y = int(p[0]), int(p[1])
+            y0, y1 = max(y - 1, 0), min(y + 2, h)
+            x0, x1 = max(x - 1, 0), min(x + 2, w)
+            if vis[y0:y1, x0:x1].any():
+                pts.append((x, y))
+    return np.array(pts, np.int32).reshape(-1, 2)
+
+
+def refine_poses(dataset: CropDatasetHost, Rs, ts, ok, vis_masks,
+                 ent_masks, mesh_pts, mesh_faces, image_hw: Tuple[int, int],
+                 crop_gt: int, iterations: int = 10) -> None:
+    """In-place contour refinement of successful poses (reference refine
+    path): map the crop-space visible contour to full-image pixels via
+    the final bbox, run the native Gauss-Newton refiner."""
+    from zebrapose_tpu import native
+    from zebrapose_tpu.ops.roi import map_pixels_to_original
+    import jax.numpy as jnp
+
+    h_img, w_img = image_hw
+    for i in range(len(dataset)):
+        if not ok[i]:
+            continue
+        contour = extract_visible_contour(ent_masks[i], vis_masks[i])
+        if len(contour) < 20:
+            continue
+        raw = dataset.get_raw(i)
+        orig = np.asarray(map_pixels_to_original(
+            jnp.asarray(contour), jnp.asarray(raw["final_bbox"]), crop_gt))
+        keep = (orig[:, 0] >= 0) & (orig[:, 0] < w_img) & \
+               (orig[:, 1] >= 0) & (orig[:, 1] < h_img)
+        orig = orig[keep]
+        if len(orig) < 20:
+            continue
+        try:
+            R2, t2 = native.edge_refine(
+                mesh_pts, mesh_faces, raw["K"].astype(np.float64),
+                w_img, h_img, orig, Rs[i].astype(np.float64),
+                ts[i].astype(np.float64), iterations=iterations)
+            Rs[i] = R2.astype(np.float32)
+            ts[i] = t2.astype(np.float32)
+        except RuntimeError:
+            continue
+
+
+def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
+             output_dir: str, ignore_bit: int = 0, variant: str = "v2",
+             debug: bool = False, batch_size: int = 16,
+             pnp_cfg: Optional[PnPConfig] = None,
+             gt_dir_suffix: str = "_GT_v2",
+             max_samples: Optional[int] = None) -> Dict[str, float]:
+    """Single-instance evaluation of one object (test.py main)."""
+    names, _ = get_obj_info(cfg.dataset_name)
+    obj_id = names[obj_name]
+
+    if cfg.bop_challange:
+        samples = bop_io.get_bop_challenge_test_data(
+            cfg.bop_path, cfg.dataset_name, obj_id,
+            data_folder=cfg.test_folder)
+    else:
+        samples = bop_io.get_dataset(cfg.bop_path, cfg.dataset_name,
+                                     train=False, eval_model=True,
+                                     data_folder=cfg.test_folder)
+    lists = list(samples.for_obj(obj_id))
+
+    det_bboxes = None
+    scores = None
+    if cfg.Detection_reaults not in ("none", "", None):
+        dets = det_mod.load_detections(cfg.Detection_reaults)
+        if cfg.dataset_name == "ycbv":
+            keep = det_mod.keyframe_indices(dets, lists[0])
+            lists = [np.asarray(l, dtype=object)[keep].tolist()
+                     for l in lists]
+        det_bboxes = det_mod.best_bboxes(dets, lists[0], obj_id)
+        scores = det_mod.best_scores(dets, lists[0], obj_id)
+    if max_samples is not None:
+        lists = [l[:max_samples] for l in lists]
+        if det_bboxes is not None:
+            det_bboxes = det_bboxes[:max_samples]
+            scores = scores[:max_samples]
+
+    dataset = CropDatasetHost(
+        samples.dataset_dir, cfg.test_folder, *lists, is_train=False,
+        crop_size_img=cfg.BoundingBox_CropSize_image,
+        crop_size_gt=cfg.BoundingBox_CropSize_GT,
+        padding_ratio=cfg.padding_ratio, resize_method=cfg.resize_method,
+        gt_dir_suffix=gt_dir_suffix, detect_bboxes=det_bboxes)
+
+    lut = load_correspondence_lut(os.path.join(
+        cfg.bop_path, cfg.dataset_name, "models_GT_color",
+        f"Class_CorresPoint{obj_id:06d}.txt"))
+    mesh = bop_io.load_ply(samples.model_plys[obj_id])
+    vertices = mesh["pts"].astype(np.float32)
+    diameter = float(samples.model_info[str(obj_id)]["diameter"])
+
+    model = ZebraPoseNet(
+        binary_code_length=cfg.number_of_itration,
+        base=cfg.divide_number_each_itration, variant=variant,
+        concat=cfg.concat_encoder_decoder,
+        output_kernel_size=cfg.output_kernel_size)
+    variables = load_model_variables(
+        ckpt_file, model, variant, cfg.BoundingBox_CropSize_image)
+
+    if pnp_cfg is None:
+        pnp_cfg = PnPConfig()
+    eval_step = make_eval_step(
+        lambda b, v: model.apply(v, b["image"], train=False), lut,
+        crop_img=cfg.BoundingBox_CropSize_image,
+        crop_gt=cfg.BoundingBox_CropSize_GT,
+        base=cfg.divide_number_each_itration,
+        n_bits=cfg.number_of_itration, resize_method=cfg.resize_method,
+        loss_type=cfg.BinaryCode_Loss_Type, pnp_cfg=pnp_cfg,
+        ignore_bits=ignore_bit, return_masks=cfg.refine or debug)
+
+    symmetric = is_symmetric(cfg.dataset_name, obj_name)
+
+    if cfg.refine or debug:
+        out = run_inference(dataset, eval_step, batch_size,
+                            variables=variables, collect_masks=True)
+        Rs, ts, ok, vis_masks, ent_masks = out
+        if cfg.refine and "faces" in mesh:
+            cam_h = samples.cam_param_global.get("im_size", (640, 480))[1] \
+                if samples.cam_param_global else 480
+            cam_w = samples.cam_param_global.get("im_size", (640, 480))[0] \
+                if samples.cam_param_global else 640
+            refine_poses(dataset, Rs, ts, ok, vis_masks, ent_masks,
+                         vertices, mesh["faces"].astype(np.int32),
+                         (cam_h, cam_w), cfg.BoundingBox_CropSize_GT)
+        for i in range(len(dataset)):
+            if not ok[i]:
+                Rs[i] = np.eye(3)
+                ts[i] = 0
+        errors = pose_errors(dataset, Rs, ts, ok, vertices, symmetric)
+        metrics = summarize(errors, diameter,
+                            "ADD-S" if symmetric else "ADD")
+        from zebrapose_tpu.data.bop_writer import (parse_sample_ids,
+                                                   write_csv)
+        os.makedirs(output_dir, exist_ok=True)
+        ids = parse_sample_ids(dataset.rgb_files)
+        write_csv(os.path.join(output_dir, "pose_result_bop"),
+                  f"{cfg.dataset_name}_{obj_name}", obj_id,
+                  [s for s, _ in ids], [i for _, i in ids], list(Rs),
+                  [t.reshape(3, 1) for t in ts],
+                  scores if scores is not None else [1.0] * len(dataset))
+        if debug:
+            from zebrapose_tpu.utils.visualize import save_mask_panel
+            dbg = os.path.join(output_dir, "debug")
+            os.makedirs(dbg, exist_ok=True)
+            for i in range(min(len(dataset), 16)):
+                save_mask_panel(
+                    os.path.join(dbg, f"{i:06d}_mask.png"),
+                    vis_masks[i], None)
+        result_metrics = metrics
+    else:
+        res = evaluate_object(
+            dataset, eval_step, vertices, diameter, symmetric, obj_id,
+            cfg.dataset_name, obj_name, output_dir=output_dir,
+            scores=scores, batch_size=batch_size, variables=variables)
+        result_metrics = res.metrics
+
+    with open(os.path.join(output_dir, "log.txt"), "a") as f:
+        for k, v in result_metrics.items():
+            f.write(f"{k} {v}\n")
+    return result_metrics
