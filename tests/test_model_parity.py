@@ -64,6 +64,29 @@ def test_forward_parity(variant):
         chk(outs["code"], outs_t[2], "code")
 
 
+def test_forward_parity_resnet50():
+    from torch_oracle import ReferenceNet50
+    torch.manual_seed(7)
+    net = ReferenceNet50(code_len=16).eval()
+    variables = convert_reference_state_dict(net.state_dict(),
+                                             variant="v2",
+                                             resnet_layers=50)
+    rng = np.random.default_rng(22)
+    x = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        mask_t, entire_t, code_t = net(torch.from_numpy(x))
+    model = ZebraPoseNet(binary_code_length=16, variant="v2",
+                         resnet_layers=50, concat=True)
+    outs = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       train=False)
+    for ours, theirs, name in ((outs["mask"], mask_t, "mask"),
+                               (outs["entire_mask"], entire_t, "entire"),
+                               (outs["code"], code_t, "code")):
+        err = np.abs(np.asarray(ours).transpose(0, 3, 1, 2) -
+                     theirs.numpy()).max()
+        assert err < 5e-4, f"resnet50/{name} max err {err}"
+
+
 def test_ddp_prefix_stripping():
     net = ReferenceNet(variant="v1", code_len=4)
     sd = {"module." + k: v for k, v in net.state_dict().items()}

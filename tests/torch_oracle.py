@@ -166,6 +166,93 @@ class ReferenceNet(nn.Module):
         return self.net(x)
 
 
+class BlockB(nn.Module):
+    """Canonical ResNet Bottleneck with dilation support."""
+
+    def __init__(self, cin, cmid, stride=1, dil=1):
+        super().__init__()
+        cout = 4 * cmid
+        self.conv1 = nn.Conv2d(cin, cmid, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cmid)
+        self.conv2 = nn.Conv2d(cmid, cmid, 3, stride, dil, dil, bias=False)
+        self.bn2 = nn.BatchNorm2d(cmid)
+        self.conv3 = nn.Conv2d(cmid, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False),
+                nn.BatchNorm2d(cout))
+        else:
+            self.downsample = nn.Sequential()
+
+    def forward(self, x):
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return F.relu(y + self.downsample(x))
+
+
+def _bstage(cin, cmid, n, stride=1):
+    mods = [BlockB(cin, cmid, stride)]
+    mods += [BlockB(4 * cmid, cmid) for _ in range(n - 1)]
+    return nn.Sequential(*mods)
+
+
+class Backbone50(nn.Module):
+    """ResNet50-OS8 per the reference's 50-layer branch."""
+
+    def __init__(self):
+        super().__init__()
+        self.resnet = nn.Sequential(
+            nn.Conv2d(3, 64, 7, 2, 3, bias=False), nn.BatchNorm2d(64),
+            nn.ReLU(inplace=True), nn.MaxPool2d(3, 2, 1),
+            _bstage(64, 64, 3),                 # 4 = layer1 (256 out)
+            _bstage(256, 128, 4, stride=2),     # 5 = layer2 (512 out)
+        )
+        self.layer4 = _stage(512, 1024, 6, dil=2)
+        self.layer5 = _stage(1024, 2048, 3, dil=4)
+
+    def forward(self, x):
+        x_128 = self.resnet[2](self.resnet[1](self.resnet[0](x)))
+        x_64 = self.resnet[4](self.resnet[3](x_128))
+        x_32 = self.resnet[5](x_64)
+        return self.layer5(self.layer4(x_32)), x_128, x_64, x_32, None
+
+
+class Decoder50(Decoder):
+    def __init__(self, n_out):
+        super().__init__(n_out)
+        for name in ("conv_1x1_1", "conv_3x3_1", "conv_3x3_2",
+                     "conv_3x3_3"):
+            old = getattr(self, name)
+            setattr(self, name, nn.Conv2d(
+                2048, 256, old.kernel_size[0], 1, old.padding[0],
+                old.dilation[0]))
+        self.conv_1x1_2 = nn.Conv2d(2048, 256, 1)
+        self.upsample_2 = _up(256 + 256)
+
+
+class ReferenceNet50(nn.Module):
+    def __init__(self, code_len=16):
+        super().__init__()
+
+        class Inner(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.resnet = Backbone50()
+                self.aspp = Decoder50(code_len + 2)
+
+            def forward(self, x):
+                xh, x_128, x_64, _, _ = self.resnet(x)
+                out = self.aspp(xh, x_128, x_64)
+                return out[:, :1], out[:, 1:2], out[:, 2:]
+
+        self.net = Inner()
+
+    def forward(self, x):
+        return self.net(x)
+
+
 def fake_torchvision_resnet34_state_dict():
     """Random state dict with torchvision resnet34 key layout/shapes
     (conv1, bn1, layer1.x, layer2.x — the part the reference loads

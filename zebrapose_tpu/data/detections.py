@@ -77,6 +77,40 @@ def all_instances(detections: Dict[str, list], rgb_fns: List[str],
     return out
 
 
+def decode_rle(segmentation: dict) -> np.ndarray:
+    """Uncompressed COCO RLE -> uint8 {0,1} mask [H, W].
+
+    Column-major counts starting with background, as consumed by the
+    reference's Mask-RCNN dataset variant
+    (bop_dataset_pytorch_mask_rcnn.py:270-287), vectorized with
+    np.repeat instead of the per-pixel loop.
+    """
+    counts = np.asarray(segmentation["counts"], np.int64)
+    h, w = segmentation["size"]
+    if counts.sum() != h * w:
+        raise ValueError("RLE counts do not cover the mask")
+    vals = np.arange(len(counts)) % 2  # 0,1,0,1,... starting background
+    flat = np.repeat(vals.astype(np.uint8), counts)
+    return flat.reshape((h, w), order="F")
+
+
+def best_segmentations(detections: Dict[str, list], rgb_fns: List[str],
+                       obj_id: int, score_thr: float = 0.0
+                       ) -> List[Optional[dict]]:
+    """Highest-scoring detection's RLE segmentation per image (or None),
+    the Mask-RCNN input path."""
+    out: List[Optional[dict]] = [None] * len(rgb_fns)
+    for i, fn in enumerate(rgb_fns):
+        best = 0.0
+        for d in detections.get(_sample_key(fn), []):
+            if d["score"] < score_thr or d["obj_id"] != obj_id:
+                continue
+            if d["score"] > best and "segmentation" in d:
+                best = d["score"]
+                out[i] = d["segmentation"]
+    return out
+
+
 def keyframe_indices(detections: Dict[str, list],
                      rgb_fns: List[str]) -> List[int]:
     """Indices whose image appears in the detection dict (the YCB-V

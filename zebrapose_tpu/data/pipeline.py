@@ -139,6 +139,7 @@ class CropDatasetHost:
                  resize_method: str = "crop_square_resize",
                  gt_dir_suffix: str = "_GT_v2",
                  detect_bboxes: Optional[Sequence] = None,
+                 detect_segmentations: Optional[Sequence] = None,
                  seed: int = 0):
         self.dataset_dir = dataset_dir
         self.data_folder = data_folder
@@ -155,6 +156,7 @@ class CropDatasetHost:
         self.resize_method = resize_method
         self.gt_dir_suffix = gt_dir_suffix
         self.detect_bboxes = detect_bboxes
+        self.detect_segmentations = detect_segmentations
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -198,6 +200,12 @@ class CropDatasetHost:
             return m if m is not None else np.zeros((h, w), np.uint8)
 
         mask = _read_mask(self.mask_visib_files[idx][0])
+        if (not self.is_train and self.detect_segmentations is not None
+                and self.detect_segmentations[idx] is not None):
+            # Mask-RCNN variant: detector RLE replaces the visible mask
+            # at test time (bop_dataset_pytorch_mask_rcnn.py:270-287)
+            from zebrapose_tpu.data.detections import decode_rle
+            mask = decode_rle(self.detect_segmentations[idx]) * 255
         entire = _read_mask(self.mask_files[idx][0])
         gt_path = self._gt_label_path(idx)
         label = cv2.imread(gt_path)

@@ -25,12 +25,16 @@ from typing import Any, Dict, Tuple
 import numpy as np
 from flax.traverse_util import unflatten_dict
 
-_BLOCK_STAGES = (  # ours -> (torch prefix, num blocks)
-    ("layer1", "resnet.4", 3),
-    ("layer2", "resnet.5", 4),
-    ("layer4", "layer4", 6),
-    ("layer5", "layer5", 3),
-)
+_BLOCK_STAGES = {  # resnet_layers -> (ours, torch prefix, n, bottleneck)
+    34: (("layer1", "resnet.4", 3, False),
+         ("layer2", "resnet.5", 4, False),
+         ("layer4", "layer4", 6, False),
+         ("layer5", "layer5", 3, False)),
+    50: (("layer1", "resnet.4", 3, True),
+         ("layer2", "resnet.5", 4, True),
+         ("layer4", "layer4", 6, False),
+         ("layer5", "layer5", 3, False)),
+}
 
 _ASPP_CONVS = ("conv_1x1_1", "conv_3x3_1", "conv_3x3_2", "conv_3x3_3",
                "conv_1x1_2", "conv_1x1_3")
@@ -70,11 +74,15 @@ class _TreeBuilder:
         self.stats[ours + ("mean",)] = _np(self.sd[theirs + ".running_mean"])
         self.stats[ours + ("var",)] = _np(self.sd[theirs + ".running_var"])
 
-    def basic_block(self, ours: Tuple[str, ...], theirs: str):
+    def basic_block(self, ours: Tuple[str, ...], theirs: str,
+                    bottleneck: bool = False):
         self.conv(ours + ("conv1", "conv"), theirs + ".conv1")
         self.bn(ours + ("bn1", "bn"), theirs + ".bn1")
         self.conv(ours + ("conv2", "conv"), theirs + ".conv2")
         self.bn(ours + ("bn2", "bn"), theirs + ".bn2")
+        if bottleneck:
+            self.conv(ours + ("conv3", "conv"), theirs + ".conv3")
+            self.bn(ours + ("bn3", "bn"), theirs + ".bn3")
         if theirs + ".downsample.0.weight" in self.sd:
             self.conv(ours + ("downsample_conv", "conv"),
                       theirs + ".downsample.0")
@@ -106,7 +114,8 @@ class _TreeBuilder:
 
 
 def convert_reference_state_dict(sd: Dict[str, Any], variant: str = "v2",
-                                 nonbinary: bool = False
+                                 nonbinary: bool = False,
+                                 resnet_layers: int = 34
                                  ) -> Dict[str, Any]:
     """Reference BinaryCodeNet state_dict -> {"params", "batch_stats"}.
 
@@ -119,10 +128,10 @@ def convert_reference_state_dict(sd: Dict[str, Any], variant: str = "v2",
     root = "net.resnet"
     tb.conv(("resnet", "conv1", "conv"), f"{root}.resnet.0")
     tb.bn(("resnet", "bn1", "bn"), f"{root}.resnet.1")
-    for ours, theirs, n in _BLOCK_STAGES:
+    for ours, theirs, n, bneck in _BLOCK_STAGES[resnet_layers]:
         for i in range(n):
             tb.basic_block(("resnet", f"{ours}_{i}"),
-                           f"{root}.{theirs}.{i}")
+                           f"{root}.{theirs}.{i}", bottleneck=bneck)
 
     # ---- decoder(s) -----------------------------------------------------
     if nonbinary:

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from zebrapose_tpu.models.aspp import ASPP, ASPPNonBinary, ASPPv3
-from zebrapose_tpu.models.resnet import ResNet34OS8
+from zebrapose_tpu.models.resnet import ResNet34OS8, ResNet50OS8
 
 
 class ZebraPoseNet(nn.Module):
@@ -45,11 +45,16 @@ class ZebraPoseNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
                  ) -> Dict[str, jnp.ndarray]:
-        if self.resnet_layers != 34:
+        if self.resnet_layers == 34:
+            backbone = ResNet34OS8(dtype=self.dtype, name="resnet")
+            skip_lo_ch = 64
+        elif self.resnet_layers == 50:
+            backbone = ResNet50OS8(dtype=self.dtype, name="resnet")
+            skip_lo_ch = 256  # x_64 width; ASPP_50's upsample_2 input
+        else:
             raise NotImplementedError(
-                "resnet50 backbone lands with the ASPP_50 decoder variant")
-        x_high, x_128, x_64, x_32, x_16 = ResNet34OS8(
-            dtype=self.dtype, name="resnet")(x, train)
+                f"resnet_layers={self.resnet_layers}")
+        x_high, x_128, x_64, x_32, x_16 = backbone(x, train)
 
         if self.base != 2:
             mask, code = ASPPNonBinary(
@@ -66,6 +71,7 @@ class ZebraPoseNet(nn.Module):
         }[self.variant]
         out = ASPP(num_classes=n_out, concat=self.concat,
                    output_kernel_size=self.output_kernel_size,
+                   skip_lo_ch=skip_lo_ch,
                    dtype=self.dtype, name="aspp")(x_high, x_128, x_64,
                                                   train)
         if self.variant == "v1":
