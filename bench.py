@@ -29,7 +29,7 @@ def main():
     from zebrapose_tpu.ops.binarize import code_from_logits, mask_from_logits
     from zebrapose_tpu.ops.pnp import PnPConfig, decode_to_pose
 
-    batch = 16
+    batch = 32
     n_bits = 16
     rng = np.random.default_rng(0)
 
@@ -60,22 +60,24 @@ def main():
                                   K, k, bbox_size=128, cfg=cfg)
 
         Rs, ts, ok, n_in = jax.vmap(one)(masks, codes, bboxes, keys)
-        return Rs, ts, ok
+        # scalar reduction: fetching it forces full execution even on
+        # platforms where block_until_ready is a no-op (axon tunnel)
+        return Rs, ts, ok, jnp.sum(ts) + jnp.sum(ok)
 
     pipeline_jit = jax.jit(pipeline)
     images = jnp.asarray(
         rng.normal(size=(batch, 256, 256, 3)).astype(np.float32))
     key = jax.random.PRNGKey(1)
 
-    # warmup/compile
-    jax.block_until_ready(pipeline_jit(variables, images, bboxes, key))
+    # warmup/compile (fetch a scalar -> full sync)
+    float(pipeline_jit(variables, images, bboxes, key)[3])
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         out = pipeline_jit(variables, images, bboxes,
                            jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
+    float(out[3])  # sync: in-order execution drains the queue
     dt = time.perf_counter() - t0
 
     crops_per_sec = batch * iters / dt

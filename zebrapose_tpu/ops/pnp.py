@@ -48,6 +48,9 @@ class PnPConfig:
     max_points: int = 4096      # fixed correspondence capacity (top-K)
     min_points: int = 6         # reference: >=6 correspondences required
     gn_iters: int = 5           # Gauss-Newton iterations on betas
+    fast_linalg: bool = True    # subspace-iteration/polar instead of
+    #                             eigh/svd (TPU: batched tiny eigh/svd
+    #                             lower to sequential loops)
 
 
 def project_points(pts3d: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
@@ -65,24 +68,34 @@ def project_points(pts3d: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
 # Weighted EPnP core
 # ---------------------------------------------------------------------------
 
-def _control_points(pts: jnp.ndarray, w: jnp.ndarray
+def _control_points(pts: jnp.ndarray, w: jnp.ndarray, fast: bool = True
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """World control points [4,3] + barycentric coords [N,4].
 
-    c0 = weighted centroid, c1..3 along weighted-PCA axes scaled by
-    sqrt(eigenvalue) (floored so planar point sets stay non-degenerate).
+    c0 = weighted centroid. fast=True places c1..3 along the coordinate
+    axes scaled by per-axis rms spread (no eigendecomposition — EPnP
+    only needs a non-degenerate affine frame, the PCA rotation is a
+    conditioning nicety); fast=False uses the classic weighted-PCA axes.
+    Scales are floored so planar point sets stay non-degenerate.
     """
     wsum = jnp.maximum(jnp.sum(w), 1e-8)
     c0 = jnp.sum(pts * w[:, None], axis=0) / wsum
     d = pts - c0[None, :]
-    cov = jnp.matmul(d.T * w[None, :], d, precision=_HI) / wsum
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending
-    scale = jnp.sqrt(jnp.maximum(evals, 1e-6 * jnp.max(evals) + 1e-9))
-    axes = evecs * scale[None, :]        # columns = scaled axes
-    ctrl = jnp.concatenate([c0[None, :], c0[None, :] + axes.T], axis=0)
-    # barycentric: X - c0 = axes @ a[1:4]; axes = E diag(s) orthogonal
-    inv_axes = (evecs / jnp.maximum(scale[None, :], 1e-12)).T  # diag(1/s) E^T
-    a123 = jnp.matmul(d, inv_axes.T, precision=_HI)            # [N,3]
+    if fast:
+        var = jnp.sum(d * d * w[:, None], axis=0) / wsum       # [3]
+        scale = jnp.sqrt(jnp.maximum(var, 1e-6 * jnp.max(var) + 1e-9))
+        ctrl = jnp.concatenate(
+            [c0[None, :], c0[None, :] + jnp.diag(scale)], axis=0)
+        a123 = d / scale[None, :]
+    else:
+        cov = jnp.matmul(d.T * w[None, :], d, precision=_HI) / wsum
+        evals, evecs = jnp.linalg.eigh(cov)  # ascending
+        scale = jnp.sqrt(jnp.maximum(evals, 1e-6 * jnp.max(evals) + 1e-9))
+        axes = evecs * scale[None, :]        # columns = scaled axes
+        ctrl = jnp.concatenate([c0[None, :], c0[None, :] + axes.T],
+                               axis=0)
+        inv_axes = (evecs / jnp.maximum(scale[None, :], 1e-12)).T
+        a123 = jnp.matmul(d, inv_axes.T, precision=_HI)        # [N,3]
     a0 = 1.0 - jnp.sum(a123, axis=-1, keepdims=True)
     alphas = jnp.concatenate([a0, a123], axis=-1)              # [N,4]
     return ctrl, alphas
@@ -139,11 +152,13 @@ def _l6x10_and_rho(V: jnp.ndarray, ctrl_w: jnp.ndarray
 
 
 def _solve_ls(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Small least-squares via regularized normal equations."""
+    """Small least-squares via regularized normal equations (PSD ->
+    unrolled batched Cholesky, no lax.linalg)."""
+    from zebrapose_tpu.ops.fast_linalg import solve_psd_small
     ata = jnp.matmul(A.T, A, precision=_HI)
     ata = ata + 1e-9 * jnp.trace(ata) * jnp.eye(A.shape[1], dtype=A.dtype)
     atb = jnp.matmul(A.T, b, precision=_HI)
-    return jnp.linalg.solve(ata, atb)
+    return solve_psd_small(ata, atb[..., None])[..., 0]
 
 
 def _betas_case1(L, rho):
@@ -206,23 +221,36 @@ def _gauss_newton_betas(L: jnp.ndarray, rho: jnp.ndarray, betas: jnp.ndarray,
     return betas
 
 
-def _procrustes(pw: jnp.ndarray, pc: jnp.ndarray, w: jnp.ndarray
-                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Weighted rigid fit: R, t with pc ~= R pw + t (Horn/Umeyama)."""
+def _procrustes(pw: jnp.ndarray, pc: jnp.ndarray, w: jnp.ndarray,
+                fast: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted rigid fit: R, t with pc ~= R pw + t (Horn/Umeyama).
+
+    fast=True replaces the 3x3 SVD with a Newton polar iteration
+    (ops/fast_linalg.py) — identical for the det>0 case every real
+    correspondence set produces.
+    """
     wsum = jnp.maximum(jnp.sum(w), 1e-8)
     cw = jnp.sum(pw * w[:, None], axis=0) / wsum
     cc = jnp.sum(pc * w[:, None], axis=0) / wsum
-    H = jnp.matmul(((pw - cw) * w[:, None]).T, pc - cc, precision=_HI)
-    U, _, Vt = jnp.linalg.svd(H)
-    d = jnp.sign(jnp.linalg.det(jnp.matmul(Vt.T, U.T, precision=_HI)))
-    D = jnp.diag(jnp.concatenate([jnp.ones((2,), pw.dtype), d[None]]))
-    R = jnp.matmul(jnp.matmul(Vt.T, D, precision=_HI), U.T, precision=_HI)
+    H = jnp.matmul(((pc - cc) * w[:, None]).T, pw - cw, precision=_HI)
+    # H maps world->camera directions: R = polar(H)
+    if fast:
+        from zebrapose_tpu.ops.fast_linalg import polar_rotation
+        R = polar_rotation(H)
+    else:
+        U, _, Vt = jnp.linalg.svd(H)
+        d = jnp.sign(jnp.linalg.det(
+            jnp.matmul(U, Vt, precision=_HI)))
+        D = jnp.diag(jnp.concatenate([jnp.ones((2,), pw.dtype), d[None]]))
+        R = jnp.matmul(jnp.matmul(U, D, precision=_HI), Vt,
+                       precision=_HI)
     t = cc - R @ cw
     return R, t
 
 
 def _pose_from_betas(betas: jnp.ndarray, V: jnp.ndarray, alphas: jnp.ndarray,
-                     pts3d: jnp.ndarray, w: jnp.ndarray
+                     pts3d: jnp.ndarray, w: jnp.ndarray,
+                     fast: bool = True
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     x = jnp.matmul(V, betas, precision=_HI)          # [12]
     cc = x.reshape(4, 3)
@@ -231,27 +259,33 @@ def _pose_from_betas(betas: jnp.ndarray, V: jnp.ndarray, alphas: jnp.ndarray,
     zmean = jnp.sum(pc[:, 2] * w) / wsum
     flip = jnp.where(zmean < 0, -1.0, 1.0)
     pc = pc * flip
-    return _procrustes(pts3d, pc, w)
+    return _procrustes(pts3d, pc, w, fast)
 
 
 def epnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
-         K: jnp.ndarray, gn_iters: int = 5
+         K: jnp.ndarray, gn_iters: int = 5, fast: bool = True
          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Weighted EPnP: [N,3], [N,2], weights [N] -> (R [3,3], t [3]).
 
     Runs the three closed-form beta initializations + Gauss-Newton and
     keeps the one with the lowest weighted reprojection error — the same
-    candidate family as cv2's SOLVEPNP_EPNP.
+    candidate family as cv2's SOLVEPNP_EPNP. fast=True computes the
+    near-null basis by shifted subspace iteration instead of eigh
+    (TPU-batchable; EPnP only needs a basis of the bottom subspace).
     """
-    ctrl_w, alphas = _control_points(pts3d, w)
+    ctrl_w, alphas = _control_points(pts3d, w, fast)
     mtm = _build_mtm(alphas, pts2d, w, K)
-    _, evecs = jnp.linalg.eigh(mtm)                  # ascending
-    V = evecs[:, :4]                                 # null-space basis
+    if fast:
+        from zebrapose_tpu.ops.fast_linalg import smallest_subspace
+        V = smallest_subspace(mtm, k=4)
+    else:
+        _, evecs = jnp.linalg.eigh(mtm)              # ascending
+        V = evecs[:, :4]                             # null-space basis
     L, rho = _l6x10_and_rho(V, ctrl_w)
 
     def candidate(betas0):
         betas = _gauss_newton_betas(L, rho, betas0, gn_iters)
-        R, t = _pose_from_betas(betas, V, alphas, pts3d, w)
+        R, t = _pose_from_betas(betas, V, alphas, pts3d, w, fast)
         proj = project_points(pts3d, R, t, K)
         err = jnp.sum(jnp.sum((proj - pts2d) ** 2, -1) * w) / \
             jnp.maximum(jnp.sum(w), 1e-8)
@@ -293,7 +327,8 @@ def ransac_pnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
     samp3d = pts3d[idx]                              # [H, S, 3]
     samp2d = pts2d[idx]
     ones = jnp.ones((cfg.n_hypotheses, cfg.sample_size), pts3d.dtype)
-    Rs, ts = jax.vmap(lambda a, b, ww: epnp(a, b, ww, K, cfg.gn_iters))(
+    Rs, ts = jax.vmap(lambda a, b, ww: epnp(
+        a, b, ww, K, cfg.gn_iters, cfg.fast_linalg))(
         samp3d, samp2d, ones)
 
     # score every hypothesis against all correspondences
@@ -315,7 +350,8 @@ def ransac_pnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
         R, t, inl = carry
         w_in = inl.astype(pts3d.dtype)
         enough = jnp.sum(w_in) >= cfg.min_points
-        R2, t2 = epnp(pts3d, pts2d, w_in, K, cfg.gn_iters)
+        R2, t2 = epnp(pts3d, pts2d, w_in, K, cfg.gn_iters,
+                      cfg.fast_linalg)
         err2 = jnp.linalg.norm(project_points(pts3d, R2, t2, K) - pts2d,
                                axis=-1)
         inl2 = (err2 < cfg.reproj_threshold) & (w > 0)
