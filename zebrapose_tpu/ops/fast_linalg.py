@@ -35,9 +35,14 @@ def cholesky_small(A: jnp.ndarray) -> jnp.ndarray:
     """
     n = A.shape[-1]
     L = jnp.zeros_like(A)
+    # floor pivots relative to the matrix scale (f32 cancellation can
+    # drive s slightly negative for ill-conditioned inputs)
+    floor = 1e-12 * jnp.maximum(
+        jnp.max(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), axis=-1),
+        1e-30)
     for j in range(n):
         s = A[..., j, j] - jnp.sum(L[..., j, :j] ** 2, axis=-1)
-        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        d = jnp.sqrt(jnp.maximum(s, floor))
         L = L.at[..., j, j].set(d)
         if j + 1 < n:
             r = A[..., j + 1:, j] - jnp.einsum(
@@ -97,9 +102,13 @@ def smallest_subspace(A: jnp.ndarray, k: int = 4,
     One Cholesky factorization is reused across iterations.
     """
     n = A.shape[-1]
+    # normalize to O(1) entries — the subspace is scale-invariant and
+    # float32 Cholesky needs the regularization floor to be meaningful
     tr = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None]
-    Areg = A + (1e-7 * tr / n + 1e-12) * jnp.eye(n, dtype=A.dtype)
-    chol = cholesky_small(Areg)
+    s0 = jnp.maximum(tr / n, 1e-30)
+    B = A / s0
+    Breg = B + 1e-6 * jnp.eye(n, dtype=A.dtype)
+    chol = cholesky_small(Breg)
 
     Y0 = jnp.eye(n, k, dtype=A.dtype) + 0.01
     Y = jnp.broadcast_to(Y0, A.shape[:-2] + (n, k))
