@@ -38,6 +38,8 @@ def main(argv=None):
                          help="torchvision resnet34 .pth")
     p_train.add_argument("--max_steps", type=int, default=None)
     p_train.add_argument("--log_freq", type=int, default=1000)
+    p_train.add_argument("--profile", default=None,
+                         help="write a JAX profiler trace to this dir")
 
     p_test = sub.add_parser("test", help="evaluate one object (test.py)")
     _add_common(p_test)
@@ -49,6 +51,8 @@ def main(argv=None):
     p_test.add_argument("--debug", action="store_true")
     p_test.add_argument("--batch_size", type=int, default=16)
     p_test.add_argument("--max_samples", type=int, default=None)
+    p_test.add_argument("--profile", default=None,
+                        help="write a JAX profiler trace to this dir")
 
     p_vivo = sub.add_parser("vivo",
                             help="multi-instance eval (test_vivo)")
@@ -103,20 +107,25 @@ def main(argv=None):
         from zebrapose_tpu.train.trainer import build_train_setup, fit
         out = os.path.join(args.output_dir,
                            f"{cfg.dataset_name}_{args.obj_name}")
+        from zebrapose_tpu.utils.profiling import profile_trace
         res = build_train_setup(
             cfg, args.obj_name, out, variant=args.variant,
             pretrained_backbone=args.pretrained_backbone)
-        best = fit(res, log_freq=args.log_freq, max_steps=args.max_steps)
+        with profile_trace(args.profile):
+            best = fit(res, log_freq=args.log_freq,
+                       max_steps=args.max_steps)
         print(f"best val recall: {best}")
         return 0
 
     if args.command == "test":
         from zebrapose_tpu.eval.runner import run_test
-        metrics = run_test(
-            cfg, args.obj_name, args.ckpt_file, args.output_dir,
-            ignore_bit=args.ignore_bit, variant=args.variant,
-            debug=args.debug, batch_size=args.batch_size,
-            max_samples=args.max_samples)
+        from zebrapose_tpu.utils.profiling import profile_trace
+        with profile_trace(args.profile):
+            metrics = run_test(
+                cfg, args.obj_name, args.ckpt_file, args.output_dir,
+                ignore_bit=args.ignore_bit, variant=args.variant,
+                debug=args.debug, batch_size=args.batch_size,
+                max_samples=args.max_samples)
         print(json.dumps(metrics, indent=2))
         return 0
 
