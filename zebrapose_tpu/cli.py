@@ -40,6 +40,9 @@ def main(argv=None):
     p_train.add_argument("--log_freq", type=int, default=1000)
     p_train.add_argument("--profile", default=None,
                          help="write a JAX profiler trace to this dir")
+    p_train.add_argument("--multihost", action="store_true",
+                         help="jax.distributed.initialize() for DCN "
+                              "multi-host training")
 
     p_test = sub.add_parser("test", help="evaluate one object (test.py)")
     _add_common(p_test)
@@ -104,6 +107,9 @@ def main(argv=None):
     cfg = ZebraConfig.from_file(args.cfg)
 
     if args.command == "train":
+        if args.multihost:
+            from zebrapose_tpu.parallel.mesh import initialize_multihost
+            initialize_multihost()
         from zebrapose_tpu.train.trainer import build_train_setup, fit
         out = os.path.join(args.output_dir,
                            f"{cfg.dataset_name}_{args.obj_name}")

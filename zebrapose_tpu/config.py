@@ -10,7 +10,7 @@ rest of the framework never touches raw dicts.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 # Keys the reference force-coerces to float (config_parser.py:21).
 _FORCED_FLOAT_KEYS = (

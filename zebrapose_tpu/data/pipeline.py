@@ -24,7 +24,7 @@ import os
 import queue
 import threading
 from functools import partial
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import cv2
 import jax

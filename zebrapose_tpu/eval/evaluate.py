@@ -15,8 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

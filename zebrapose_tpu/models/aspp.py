@@ -13,7 +13,7 @@ Mirrors the reference decoders (`zebrapose/model/aspp.py`, `aspp_v3.py`):
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -9,7 +9,7 @@ convention differs from torch's (padding, output_padding) pair).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -40,9 +40,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host batch dict onto the mesh, sharded over devices."""
+    """Place a host batch dict onto the mesh, sharded over devices.
+
+    Single-host: a plain device_put with the batch sharding. Multi-host
+    (after jax.distributed.initialize): `batch` is this process's LOCAL
+    shard and the global array is assembled across hosts — the
+    DistributedSampler equivalent is each host drawing its own slice.
+    """
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, x), batch)
+
+
+def initialize_multihost(coordinator_address: str = None,
+                         num_processes: int = None,
+                         process_id: int = None) -> None:
+    """Multi-host bring-up (replaces torch dist.init_process_group /
+    --dist-url plumbing, train_v5.py:52-53). With TPU pods the arguments
+    are auto-detected; pass them explicitly elsewhere."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Callable, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -246,6 +246,12 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
     world = mesh.devices.size
     lr, iters = scale_for_world(cfg.learning_rate, cfg.total_iteration,
                                 world)
+    # multi-host: each process feeds its local slice of the global batch
+    # with a distinct sampling stream (DistributedSampler equivalent)
+    import jax as _jax
+    n_proc = _jax.process_count()
+    local_batch = cfg.batch_size // n_proc if n_proc > 1 else \
+        cfg.batch_size
     state = create_train_state(model, variables, learning_rate=lr,
                                n_bits=cfg.number_of_itration)
 
@@ -255,8 +261,9 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
     logger = MetricsLogger(os.path.join(output_dir, "logs"))
 
     train_iter = MixedBatchIterator(
-        ds1, ds2, batch_size=cfg.batch_size,
-        second_dataset_ratio=cfg.second_dataset_ratio)
+        ds1, ds2, batch_size=local_batch,
+        second_dataset_ratio=cfg.second_dataset_ratio,
+        seed=_jax.process_index())
 
     return TrainResources(
         cfg=cfg, model=model, state=state, mesh=mesh,
