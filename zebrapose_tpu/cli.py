@@ -40,6 +40,9 @@ def main(argv=None):
     p_train.add_argument("--log_freq", type=int, default=1000)
     p_train.add_argument("--profile", default=None,
                          help="write a JAX profiler trace to this dir")
+    p_train.add_argument("--bf16", action="store_true",
+                         help="bf16 compute in the model (params stay "
+                              "f32; losses computed in f32)")
     p_train.add_argument("--multihost", action="store_true",
                          help="jax.distributed.initialize() for DCN "
                               "multi-host training")
@@ -116,7 +119,8 @@ def main(argv=None):
         from zebrapose_tpu.utils.profiling import profile_trace
         res = build_train_setup(
             cfg, args.obj_name, out, variant=args.variant,
-            pretrained_backbone=args.pretrained_backbone)
+            pretrained_backbone=args.pretrained_backbone,
+            bf16=args.bf16)
         with profile_trace(args.profile):
             best = fit(res, log_freq=args.log_freq,
                        max_steps=args.max_steps)

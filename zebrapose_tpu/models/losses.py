@@ -159,6 +159,8 @@ def total_loss(outputs: Dict[str, jnp.ndarray],
                ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Train objective (train_v2.py:262-269). Returns
     (loss, new_histogram, metrics)."""
+    # losses always in f32 (the model may run bf16 compute)
+    outputs = {k: v.astype(jnp.float32) for k, v in outputs.items()}
     code_l, new_hist, hamm = binary_code_loss(
         outputs["code"], outputs["mask"], gt_code, histogram, cfg)
     mask_l = sigmoid_l1_mask_loss(outputs["mask"], gt_mask)

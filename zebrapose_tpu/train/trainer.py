@@ -163,7 +163,8 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
                       gt_dir_suffix: str = "_GT_v2",
                       variant: str = "v2",
                       pretrained_backbone: Optional[str] = None,
-                      max_val_samples: int = 512) -> TrainResources:
+                      max_val_samples: int = 512,
+                      bf16: bool = False) -> TrainResources:
     """Assemble TrainResources from a real BOP tree (train_v2.py:40-223).
 
     pretrained_backbone: optional path to a torchvision resnet34 .pth —
@@ -227,7 +228,8 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
         binary_code_length=cfg.number_of_itration,
         base=cfg.divide_number_each_itration, variant=variant,
         concat=cfg.concat_encoder_decoder,
-        output_kernel_size=cfg.output_kernel_size)
+        output_kernel_size=cfg.output_kernel_size,
+        dtype=jnp.bfloat16 if bf16 else jnp.float32)
     variables = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, cfg.BoundingBox_CropSize_image,
