@@ -1,0 +1,133 @@
+"""run_test integration: full orchestration over a synthetic BOP tree
+with a converted reference-format torch checkpoint (random weights — the
+point is exercising dataset build, detections, LUT, checkpoint
+conversion, the jitted eval program, refinement plumbing and artifact
+output, not accuracy)."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from torch_oracle import ReferenceNet
+from zebrapose_tpu.config import ZebraConfig
+from zebrapose_tpu.eval.runner import run_test
+from zebrapose_tpu.ops.pnp import PnPConfig
+
+H, W = 96, 128
+K_LIST = [400.0, 0.0, 64.0, 0.0, 400.0, 48.0, 0.0, 0.0, 1.0]
+
+
+@pytest.fixture()
+def bop_tree(tmp_path):
+    ds = tmp_path / "bop" / "lmo"
+    from zebrapose_tpu.data.bop_io import save_ply
+    rng = np.random.default_rng(140)
+    pts = rng.uniform(-30, 30, (60, 3)).astype(np.float32)
+    faces = np.array([[i, (i + 1) % 60, (i + 7) % 60] for i in range(40)])
+    for d in ("models", "models_eval"):
+        (ds / d).mkdir(parents=True)
+        save_ply(str(ds / d / "obj_000001.ply"), pts, faces=faces)
+        (ds / d / "models_info.json").write_text(
+            json.dumps({"1": {"diameter": 75.0}}))
+    (ds / "camera.json").write_text(json.dumps(
+        {"cx": 64.0, "cy": 48.0, "fx": 400.0, "fy": 400.0,
+         "width": W, "height": H, "depth_scale": 1.0}))
+    # surface-code table
+    (ds / "models_GT_color").mkdir()
+    n_cls = 2 ** 16
+    with open(ds / "models_GT_color" / "Class_CorresPoint000001.txt",
+              "w") as f:
+        f.write(f"{n_cls} 2 16\n")
+        for i in range(0, n_cls, 997):  # sparse valid entries suffice
+            p = rng.uniform(-30, 30, 3)
+            f.write(f"{i} {p[0]} {p[1]} {p[2]}\n")
+
+    scene = ds / "test" / "000002"
+    (scene / "rgb").mkdir(parents=True)
+    (scene / "mask").mkdir()
+    (scene / "mask_visib").mkdir()
+    gt_dir = ds / "test_GT_v2" / "000002"
+    gt_dir.mkdir(parents=True)
+    cam, gt, gti = {}, {}, {}
+    for im in range(3):
+        cv2.imwrite(str(scene / "rgb" / f"{im:06d}.png"),
+                    rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
+        m = np.zeros((H, W), np.uint8)
+        m[30:70, 40:90] = 255
+        cv2.imwrite(str(scene / "mask" / f"{im:06d}_000000.png"), m)
+        cv2.imwrite(str(scene / "mask_visib" / f"{im:06d}_000000.png"), m)
+        cv2.imwrite(str(gt_dir / f"{im:06d}_000000.png"),
+                    rng.integers(0, 255, (H, W, 3), dtype=np.uint8))
+        cam[str(im)] = {"cam_K": K_LIST, "depth_scale": 1.0}
+        gt[str(im)] = [{"cam_R_m2c": list(np.eye(3).reshape(-1)),
+                        "cam_t_m2c": [0, 0, 500.0], "obj_id": 1}]
+        gti[str(im)] = [{"bbox_visib": [40, 30, 50, 40],
+                         "visib_fract": 0.9}]
+    (scene / "scene_camera.json").write_text(json.dumps(cam))
+    (scene / "scene_gt.json").write_text(json.dumps(gt))
+    (scene / "scene_gt_info.json").write_text(json.dumps(gti))
+
+    det = {"2/0": [{"obj_id": 1, "bbox_est": [38, 28, 52, 44],
+                    "score": 0.9}],
+           "2/1": [{"obj_id": 1, "bbox_est": [41, 29, 49, 42],
+                    "score": 0.8}],
+           "2/2": []}  # no detection for image 2 -> dummy sample
+    det_path = tmp_path / "det.json"
+    det_path.write_text(json.dumps(det))
+    return str(tmp_path / "bop"), str(det_path)
+
+
+def test_run_test_with_torch_checkpoint(bop_tree, tmp_path):
+    bop_path, det_path = bop_tree
+    torch.manual_seed(0)
+    net = ReferenceNet(variant="v2", code_len=16)
+    ckpt_path = str(tmp_path / "ckpt.pth")
+    torch.save({"model_state_dict": net.state_dict(),
+                "iteration_step": 1234}, ckpt_path)
+
+    cfg = ZebraConfig.from_dict({
+        "bop_path": bop_path, "dataset_name": "lmo",
+        "test_folder": "test", "Detection_reaults": det_path,
+        "BoundingBox_CropSize_image": 128,
+        "BoundingBox_CropSize_GT": 64,
+        "divide_number_each_itration": 2, "number_of_itration": 16,
+        "refine": False,
+    })
+    out_dir = str(tmp_path / "out")
+    metrics = run_test(cfg, "ape", ckpt_path, out_dir, batch_size=3,
+                       pnp_cfg=PnPConfig(n_hypotheses=16, max_points=512))
+    assert "ADD_recall_0.1d" in metrics
+    assert os.path.exists(os.path.join(out_dir, "pose_result_bop",
+                                       "lmo_ape.csv"))
+    assert os.path.exists(os.path.join(out_dir, "add_err.txt"))
+    assert os.path.exists(os.path.join(out_dir, "log.txt"))
+    # untrained net: metrics exist and are finite-ish
+    assert 0.0 <= metrics["ADD_recall_0.1d"] <= 1.0
+
+
+def test_run_test_debug_and_refine_path(bop_tree, tmp_path):
+    bop_path, det_path = bop_tree
+    torch.manual_seed(1)
+    net = ReferenceNet(variant="v2", code_len=16)
+    ckpt_path = str(tmp_path / "ckpt2.pth")
+    torch.save({"model_state_dict": net.state_dict()}, ckpt_path)
+    cfg = ZebraConfig.from_dict({
+        "bop_path": bop_path, "dataset_name": "lmo",
+        "test_folder": "test", "Detection_reaults": det_path,
+        "BoundingBox_CropSize_image": 128,
+        "BoundingBox_CropSize_GT": 64,
+        "divide_number_each_itration": 2, "number_of_itration": 16,
+        "refine": True,
+    })
+    out_dir = str(tmp_path / "out2")
+    metrics = run_test(cfg, "ape", ckpt_path, out_dir, batch_size=3,
+                       debug=True,
+                       pnp_cfg=PnPConfig(n_hypotheses=16, max_points=512))
+    assert os.path.isdir(os.path.join(out_dir, "debug"))
+    assert os.path.exists(os.path.join(out_dir, "pose_result_bop",
+                                       "lmo_ape.csv"))
