@@ -161,3 +161,40 @@ def test_decode_to_pose_end_to_end():
     # quantization to integer original pixels bounds accuracy (~1.5px)
     assert _rot_err_deg(np.asarray(Re), R) < 2.0
     assert np.linalg.norm(np.asarray(te) - t) < 15.0
+
+
+def test_polish_reduces_reprojection_error():
+    """GN polish is a reprojection optimizer: from a perturbed pose it
+    must drive weighted reprojection error down (3D pose error under
+    pixel noise is only better in expectation, not per-instance)."""
+    from zebrapose_tpu.ops.pnp import gauss_newton_pose_polish
+    rng = np.random.default_rng(15)
+    pts = _object_points(rng, 300)
+    R, t = _random_pose(rng)
+    uv = np.array(project_points(jnp.asarray(pts), jnp.asarray(R),
+                                 jnp.asarray(t), jnp.asarray(K)))
+    uv += rng.normal(scale=0.5, size=uv.shape)
+    w = np.ones(300, np.float32)
+    # perturb the start
+    th = np.radians(2.0)
+    Rp = R @ np.array([[np.cos(th), -np.sin(th), 0],
+                       [np.sin(th), np.cos(th), 0], [0, 0, 1]],
+                      np.float32)
+    tp = t + np.array([3.0, -2.0, 8.0], np.float32)
+
+    def reproj_rms(Rm, tm):
+        p = np.array(project_points(jnp.asarray(pts), jnp.asarray(Rm),
+                                    jnp.asarray(tm), jnp.asarray(K)))
+        return float(np.sqrt(np.mean(np.sum((p - uv) ** 2, -1))))
+
+    e0 = reproj_rms(Rp, tp)
+    R2, t2 = gauss_newton_pose_polish(
+        jnp.asarray(pts), jnp.asarray(uv.astype(np.float32)),
+        jnp.asarray(w), jnp.asarray(K), jnp.asarray(Rp),
+        jnp.asarray(tp), iters=5)
+    e1 = reproj_rms(np.asarray(R2), np.asarray(t2))
+    assert e1 < e0 * 0.3            # large perturbation mostly removed
+    assert e1 < 0.8                 # close to the 0.5px noise floor
+    # and the pose itself lands near GT
+    assert _rot_err_deg(np.asarray(R2), R) < 0.5
+    assert np.linalg.norm(np.asarray(t2) - t) < 5.0

@@ -51,6 +51,10 @@ class PnPConfig:
     fast_linalg: bool = True    # subspace-iteration/polar instead of
     #                             eigh/svd (TPU: batched tiny eigh/svd
     #                             lower to sequential loops)
+    polish_iters: int = 3       # SE(3) Gauss-Newton reprojection polish
+    #                             on the final inlier set (Progressive-X
+    #                             runs local optimization; plain cv2 EPnP
+    #                             does not — this closes that gap)
 
 
 def project_points(pts3d: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
@@ -262,6 +266,71 @@ def _pose_from_betas(betas: jnp.ndarray, V: jnp.ndarray, alphas: jnp.ndarray,
     return _procrustes(pts3d, pc, w, fast)
 
 
+def _so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues exponential map [3] -> [3,3]."""
+    th = jnp.linalg.norm(w)
+    k = w / jnp.maximum(th, 1e-12)
+    Km = jnp.array([[0.0, -k[2], k[1]],
+                    [k[2], 0.0, -k[0]],
+                    [-k[1], k[0], 0.0]])
+    s, c = jnp.sin(th), jnp.cos(th)
+    R = jnp.eye(3) + s * Km + (1.0 - c) * (Km @ Km)
+    return jnp.where(th < 1e-9, jnp.eye(3), R)
+
+
+def gauss_newton_pose_polish(pts3d: jnp.ndarray, pts2d: jnp.ndarray,
+                             w: jnp.ndarray, K: jnp.ndarray,
+                             R: jnp.ndarray, t: jnp.ndarray,
+                             iters: int = 3
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted reprojection Gauss-Newton on SE(3) (right-multiplied
+    model-frame twist), all matmuls — refines the EPnP estimate over the
+    consensus set like Progressive-X's local optimization step.
+    """
+    from zebrapose_tpu.ops.fast_linalg import solve_psd_small
+
+    fx, fy = K[0, 0], K[1, 1]
+
+    def step(carry, _):
+        R, t = carry
+        pc = pts3d @ R.T + t[None, :]                     # [N,3]
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        iz = 1.0 / z
+        u = fx * pc[:, 0] * iz + K[0, 2]
+        v = fy * pc[:, 1] * iz + K[1, 2]
+        r = jnp.stack([pts2d[:, 0] - u, pts2d[:, 1] - v], -1)  # [N,2]
+        # dPc/d(omega) = -R [p]_x ; dPc/d(nu) = R   (model-frame twist)
+        px, py, pz = pts3d[:, 0], pts3d[:, 1], pts3d[:, 2]
+        zeros = jnp.zeros_like(px)
+        Px = jnp.stack([
+            jnp.stack([zeros, -pz, py], -1),
+            jnp.stack([pz, zeros, -px], -1),
+            jnp.stack([-py, px, zeros], -1)], -2)          # [N,3,3]
+        dPc = jnp.concatenate(
+            [-jnp.einsum("ij,njk->nik", R, Px, precision=_HI),
+             jnp.broadcast_to(R, Px.shape)], axis=-1)      # [N,3,6]
+        Ju = fx * (dPc[:, 0] * iz[:, None]
+                   - pc[:, 0:1] * iz[:, None] ** 2 * dPc[:, 2])
+        Jv = fy * (dPc[:, 1] * iz[:, None]
+                   - pc[:, 1:2] * iz[:, None] ** 2 * dPc[:, 2])
+        J = jnp.stack([Ju, Jv], axis=1)                    # [N,2,6]
+        Jw = J * w[:, None, None]
+        Hm = jnp.einsum("nri,nrj->ij", Jw, J, precision=_HI)
+        Hm = Hm + 1e-6 * jnp.trace(Hm) / 6.0 * jnp.eye(6)
+        b = jnp.einsum("nri,nr->i", Jw, r, precision=_HI)
+        xi = solve_psd_small(Hm, b[:, None])[:, 0]
+        R_new = R @ _so3_exp(xi[:3])
+        t_new = t + R @ xi[3:]
+        # guard against a diverging step (all-outlier degenerate sets)
+        ok = jnp.all(jnp.isfinite(xi)) & (jnp.linalg.norm(xi[3:]) < 1e3)
+        R = jnp.where(ok, R_new, R)
+        t = jnp.where(ok, t_new, t)
+        return (R, t), None
+
+    (R, t), _ = jax.lax.scan(step, (R, t), None, length=iters)
+    return R, t
+
+
 def epnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
          K: jnp.ndarray, gn_iters: int = 5, fast: bool = True
          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -363,6 +432,19 @@ def ransac_pnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
 
     (R_fin, t_fin, in_fin), _ = jax.lax.scan(
         refine, (R_best, t_best, in_best), None, length=cfg.refine_iters)
+
+    if cfg.polish_iters > 0:
+        R_p, t_p = gauss_newton_pose_polish(
+            pts3d, pts2d, in_fin.astype(pts3d.dtype), K, R_fin, t_fin,
+            cfg.polish_iters)
+        # keep the polish only if it does not lose inliers
+        err_p = jnp.linalg.norm(
+            project_points(pts3d, R_p, t_p, K) - pts2d, axis=-1)
+        in_p = (err_p < cfg.reproj_threshold) & (w > 0)
+        better = jnp.sum(in_p) >= jnp.sum(in_fin)
+        R_fin = jnp.where(better, R_p, R_fin)
+        t_fin = jnp.where(better, t_p, t_fin)
+        in_fin = jnp.where(better, in_p, in_fin)
 
     n_in = jnp.sum(in_fin)
     success = (jnp.sum(w > 0) >= cfg.min_points) & (n_in >= cfg.min_points)
