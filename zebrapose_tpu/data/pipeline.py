@@ -158,6 +158,7 @@ class CropDatasetHost:
         self.detect_bboxes = detect_bboxes
         self.detect_segmentations = detect_segmentations
         self.rng = np.random.default_rng(seed)
+        self._rng_lock = threading.Lock()
 
     def __len__(self):
         return len(self.rgb_files)
@@ -225,7 +226,12 @@ class CropDatasetHost:
         valid = 1.0
         if self.is_train:
             bbox = np.asarray(self.gt_infos[idx]["bbox_visib"])
-            bbox = augment_bbox(bbox, self.padding_ratio, self.rng)
+            # per-sample generator: get_raw runs on a thread pool and
+            # numpy Generators are not thread-safe
+            with self._rng_lock:
+                sample_seed = int(self.rng.integers(0, 2 ** 63))
+            bbox = augment_bbox(bbox, self.padding_ratio,
+                                np.random.default_rng(sample_seed))
         else:
             if self.detect_bboxes is not None:
                 det = self.detect_bboxes[idx]
@@ -247,20 +253,29 @@ class CropDatasetHost:
                 "t": t.astype(np.float32), "K": K.astype(np.float32),
                 "valid": np.float32(valid)}
 
-    def collate(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
-        rows = [self.get_raw(i) for i in indices]
+    def collate(self, indices: Sequence[int],
+                executor=None) -> Dict[str, np.ndarray]:
+        if executor is not None:
+            rows = list(executor.map(self.get_raw, indices))
+        else:
+            rows = [self.get_raw(i) for i in indices]
         return {k: np.stack([r[k] for r in rows]) for k in rows[0]}
 
 
 class MixedBatchIterator:
     """Infinite mixed real+pbr batches (reference: two DataLoaders whose
     batches are concatenated each step, train_v2.py:228-244; split sizes
-    from common_ops.get_batch_size) with background prefetch."""
+    from common_ops.get_batch_size) with background prefetch and a sample
+    thread pool (the reference's num_workers; cv2.imread releases the
+    GIL, so threads parallelize the byte I/O)."""
 
     def __init__(self, ds1: CropDatasetHost,
                  ds2: Optional[CropDatasetHost],
                  batch_size: int, second_dataset_ratio: float = 0.75,
-                 seed: int = 0, prefetch: int = 2):
+                 seed: int = 0, prefetch: int = 2,
+                 num_workers: int = 8):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.ds1, self.ds2 = ds1, ds2
         if ds2 is not None and len(ds2) > 0:
             self.n2 = int(batch_size * second_dataset_ratio)
@@ -269,6 +284,8 @@ class MixedBatchIterator:
             self.ds2 = None
         self.n1 = batch_size - self.n2
         self.rng = np.random.default_rng(seed)
+        self._pool = ThreadPoolExecutor(max_workers=max(num_workers, 1)) \
+            if num_workers > 0 else None
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -279,9 +296,11 @@ class MixedBatchIterator:
 
     def _worker(self):
         while not self._stop.is_set():
-            b1 = self.ds1.collate(self._draw(self.ds1, self.n1))
+            b1 = self.ds1.collate(self._draw(self.ds1, self.n1),
+                                  executor=self._pool)
             if self.ds2 is not None:
-                b2 = self.ds2.collate(self._draw(self.ds2, self.n2))
+                b2 = self.ds2.collate(self._draw(self.ds2, self.n2),
+                                      executor=self._pool)
                 b1 = {k: np.concatenate([b1[k], b2[k]]) for k in b1}
             while not self._stop.is_set():
                 try:
@@ -298,3 +317,5 @@ class MixedBatchIterator:
 
     def close(self):
         self._stop.set()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)

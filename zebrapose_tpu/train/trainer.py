@@ -265,7 +265,7 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
     train_iter = MixedBatchIterator(
         ds1, ds2, batch_size=local_batch,
         second_dataset_ratio=cfg.second_dataset_ratio,
-        seed=_jax.process_index())
+        seed=_jax.process_index(), num_workers=cfg.num_workers)
 
     return TrainResources(
         cfg=cfg, model=model, state=state, mesh=mesh,
