@@ -1,0 +1,97 @@
+"""build_train_setup smoke test over a synthetic BOP tree: wiring of
+datasets, LUT, mesh, model init, checkpoints and iterator from a config
+(the round-2 real-training entry point)."""
+
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from test_generate_gt import _sphere_obj
+from zebrapose_tpu.config import ZebraConfig
+from zebrapose_tpu.train.trainer import build_train_setup
+
+K_LIST = [400.0, 0.0, 64.0, 0.0, 400.0, 64.0, 0.0, 0.0, 1.0]
+
+
+def _scene(ds, split, n_imgs=3):
+    scene = ds / split / "000001"
+    (scene / "rgb").mkdir(parents=True)
+    (scene / "mask").mkdir()
+    (scene / "mask_visib").mkdir()
+    gt_dir = ds / (split + "_GT_v2") / "000001"
+    gt_dir.mkdir(parents=True)
+    cam, gt, gti = {}, {}, {}
+    rng = np.random.default_rng(7)
+    for im in range(n_imgs):
+        cv2.imwrite(str(scene / "rgb" / f"{im:06d}.png"),
+                    rng.integers(0, 255, (128, 128, 3), dtype=np.uint8))
+        m = np.zeros((128, 128), np.uint8)
+        m[40:90, 30:80] = 255
+        cv2.imwrite(str(scene / "mask" / f"{im:06d}_000000.png"), m)
+        cv2.imwrite(str(scene / "mask_visib" / f"{im:06d}_000000.png"), m)
+        cv2.imwrite(str(gt_dir / f"{im:06d}_000000.png"),
+                    rng.integers(0, 255, (128, 128, 3), dtype=np.uint8))
+        cam[str(im)] = {"cam_K": K_LIST, "depth_scale": 1.0}
+        gt[str(im)] = [{"cam_R_m2c": list(np.eye(3).reshape(-1)),
+                        "cam_t_m2c": [0, 0, 450.0], "obj_id": 1}]
+        gti[str(im)] = [{"bbox_visib": [30, 40, 50, 50],
+                         "visib_fract": 0.9}]
+    (scene / "scene_camera.json").write_text(json.dumps(cam))
+    (scene / "scene_gt.json").write_text(json.dumps(gt))
+    (scene / "scene_gt_info.json").write_text(json.dumps(gti))
+
+
+def test_build_train_setup(tmp_path):
+    ds = tmp_path / "bop" / "lmo"
+    from zebrapose_tpu.data.bop_io import save_ply
+    from zebrapose_tpu.tools.generate_gt import load_obj
+    mesh_obj = _sphere_obj(tmp_path, n_theta=20, n_phi=30)
+    m = load_obj(mesh_obj)
+    for d in ("models", "models_eval"):
+        (ds / d).mkdir(parents=True)
+        save_ply(str(ds / d / "obj_000001.ply"), m["pts"],
+                 faces=m["faces"])
+        (ds / d / "models_info.json").write_text(
+            json.dumps({"1": {"diameter": 80.0}}))
+    (ds / "camera.json").write_text(json.dumps(
+        {"cx": 64.0, "cy": 64.0, "fx": 400.0, "fy": 400.0,
+         "width": 128, "height": 128, "depth_scale": 1.0}))
+    (ds / "models_GT_color").mkdir()
+    rng = np.random.default_rng(8)
+    with open(ds / "models_GT_color" / "Class_CorresPoint000001.txt",
+              "w") as f:
+        f.write("256 2 8\n")
+        for i in range(256):
+            p = rng.uniform(-30, 30, 3)
+            f.write(f"{i} {p[0]} {p[1]} {p[2]}\n")
+    _scene(ds, "train_real")
+    _scene(ds, "test")
+
+    cfg = ZebraConfig.from_dict({
+        "bop_path": str(tmp_path / "bop"), "dataset_name": "lmo",
+        "training_data_folder": "train_real",
+        "training_data_folder_2": "none", "val_folder": "test",
+        "BoundingBox_CropSize_image": 64, "BoundingBox_CropSize_GT": 32,
+        "divide_number_each_itration": 2, "number_of_itration": 8,
+        "batch_size": 4, "total_iteration": 800, "num_workers": 2,
+    })
+    res = build_train_setup(cfg, "ape", str(tmp_path / "run"))
+    try:
+        assert res.obj_id == 1 and res.diameter == 80.0
+        assert not res.symmetric
+        assert res.lut.num_classes == 256
+        assert len(res.val_dataset) == 3
+        assert res.total_iterations == 100  # 800 // 8 virtual devices
+        batch = next(res.train_iter)
+        assert batch["rgb"].shape == (4, 128, 128, 3)
+        assert res.vertices.shape[1] == 3
+        # model initialized with the configured code length
+        p = res.state.params["aspp"]["conv_1x1_4"]["conv"]["kernel"]
+        assert p.shape[-1] == 8 + 2  # v2: mask + entire + 8 bits
+    finally:
+        res.train_iter.close()
+        res.ckpt.close()
+        res.logger.close()
