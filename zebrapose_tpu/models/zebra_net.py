@@ -54,6 +54,12 @@ class ZebraPoseNet(nn.Module):
         else:
             raise NotImplementedError(
                 f"resnet_layers={self.resnet_layers}")
+        if self.resnet_layers != 34 and (self.variant == "v3"
+                                         or self.base != 2):
+            # the reference wires the v3 second decoder and the
+            # non-binary ablation head for the 34-layer backbone only
+            raise NotImplementedError(
+                "v3 / non-binary variants require resnet_layers=34")
         x_high, x_128, x_64, x_32, x_16 = backbone(x, train)
 
         if self.base != 2:
