@@ -25,6 +25,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: first-ever run pays the (tunnel-
+    # dependent, multi-minute) XLA compile; subsequent runs start hot
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/zebrapose_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
     from zebrapose_tpu.models.zebra_net import ZebraPoseNet
     from zebrapose_tpu.ops.binarize import code_from_logits, mask_from_logits
     from zebrapose_tpu.ops.pnp import PnPConfig, decode_to_pose
