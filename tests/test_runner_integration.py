@@ -110,6 +110,42 @@ def test_run_test_with_torch_checkpoint(bop_tree, tmp_path):
     assert 0.0 <= metrics["ADD_recall_0.1d"] <= 1.0
 
 
+def test_run_vivo_gtless_challenge_split(bop_tree, tmp_path):
+    """Vivo on a GT-LESS split (BOP-challenge shape): the image walk must
+    come from scene_camera.json + detections alone (reference
+    test_vivo.py:127-131), so deleting scene_gt*.json must not shrink the
+    run. Produces a BOP CSV."""
+    bop_path, det_path = bop_tree
+    # strip ALL GT from the split -> challenge-style submission input
+    scene = os.path.join(bop_path, "lmo", "test", "000002")
+    os.remove(os.path.join(scene, "scene_gt.json"))
+    os.remove(os.path.join(scene, "scene_gt_info.json"))
+
+    torch.manual_seed(2)
+    net = ReferenceNet(variant="v2", code_len=16)
+    ckpt_path = str(tmp_path / "ckpt3.pth")
+    torch.save({"model_state_dict": net.state_dict()}, ckpt_path)
+    cfg = ZebraConfig.from_dict({
+        "bop_path": bop_path, "dataset_name": "lmo",
+        "test_folder": "test", "Detection_reaults": det_path,
+        "BoundingBox_CropSize_image": 128,
+        "BoundingBox_CropSize_GT": 64,
+        "divide_number_each_itration": 2, "number_of_itration": 16,
+    })
+    from zebrapose_tpu.eval.runner_vivo import run_vivo
+    out_dir = str(tmp_path / "out_vivo")
+    res = run_vivo(cfg, "ape", ckpt_path, out_dir, batch_size=2,
+                   score_threshold=0.2,
+                   pnp_cfg=PnPConfig(n_hypotheses=16, max_points=512))
+    # the critical regression: before the GT-less walk, deleting scene_gt
+    # emptied the image list and instances was 0
+    assert res["instances"] == 2  # both detections above threshold
+    csv = os.path.join(out_dir, "pose_result_bop", "lmo_ape.csv")
+    assert os.path.exists(csv)
+    # random weights -> solves may fail; rows must match solved count
+    assert len(open(csv).read().splitlines()) == 1 + res["solved"]
+
+
 def test_run_test_debug_and_refine_path(bop_tree, tmp_path):
     bop_path, det_path = bop_tree
     torch.manual_seed(1)

@@ -346,6 +346,33 @@ def get_dataset(bop_dir: str, dataset: str, train: bool = True,
                       cam_global)
 
 
+def list_images_with_cameras(bop_dir: str, dataset: str,
+                             data_folder: str = "test"
+                             ) -> Tuple[List[str], Dict[str, dict]]:
+    """Every image of a split from `scene_camera.json` alone — NO GT
+    required (the BOP-challenge / vivo walk, reference
+    test_vivo.py:127-131: camera params are read per scene directly, and
+    the image loop is driven by the detection dict, not scene_gt).
+
+    Returns (sorted rgb paths, {rgb path: scene_camera entry}).
+    """
+    target_dir = os.path.join(bop_dir, dataset, data_folder)
+    rgb_files: List[str] = []
+    cam_by_file: Dict[str, dict] = {}
+    if os.path.exists(target_dir):
+        for scene in sorted(os.listdir(target_dir)):
+            scene_dir = os.path.join(target_dir, scene)
+            cam_fn = os.path.join(scene_dir, "scene_camera.json")
+            if not os.path.exists(cam_fn):
+                continue
+            scene_cams = load_scene_camera(cam_fn)
+            for im_id in sorted(scene_cams.keys()):
+                fn = _rgb_path(scene_dir, dataset, im_id, train=False)
+                rgb_files.append(fn)
+                cam_by_file[fn] = scene_cams[im_id]
+    return rgb_files, cam_by_file
+
+
 def get_bop_challenge_test_data(bop_dir: str, dataset: str,
                                 target_obj_id: int,
                                 data_folder: str = "test") -> BopSamples:
@@ -411,9 +438,16 @@ def get_bop_challenge_test_data(bop_dir: str, dataset: str,
             gtis[oi].append(None)
             cams[oi].append(scene_cams[im_id])
 
+    # global camera file (im_size needed by the refiner even when the
+    # challenge split ships without GT — tless primesense is 720x540, NOT
+    # the 640x480 of camera.json-less datasets)
+    cam_global_fn = os.path.join(dataset_dir, _camera_file(dataset))
+    cam_global = (load_cam_params(cam_global_fn)
+                  if os.path.exists(cam_global_fn) else {})
+
     return BopSamples(dataset_dir, os.path.join(dataset_dir, data_folder),
                       model_plys, model_info, model_ids, rgb, mask, maskv,
-                      gts, gtis, cams, {})
+                      gts, gtis, cams, cam_global)
 
 
 def ycbv_select_keyframes(samples: BopSamples, obj_id: int,

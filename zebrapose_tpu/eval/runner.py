@@ -192,10 +192,16 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
                             variables=variables, collect_masks=True)
         Rs, ts, ok, vis_masks, ent_masks = out
         if cfg.refine and "faces" in mesh:
-            cam_h = samples.cam_param_global.get("im_size", (640, 480))[1] \
-                if samples.cam_param_global else 480
-            cam_w = samples.cam_param_global.get("im_size", (640, 480))[0] \
-                if samples.cam_param_global else 640
+            im_size = (samples.cam_param_global or {}).get("im_size")
+            if im_size is None:
+                # No global camera file: read the true size off the first
+                # image rather than guessing (tless primesense is 720x540;
+                # a 640x480 guess silently drops right/bottom contour
+                # pixels).
+                img0 = cv2.imread(dataset.rgb_files[0])
+                cam_h, cam_w = img0.shape[:2]
+            else:
+                cam_w, cam_h = int(im_size[0]), int(im_size[1])
             refine_poses(dataset, Rs, ts, ok, vis_masks, ent_masks,
                          vertices, mesh["faces"].astype(np.int32),
                          (cam_h, cam_w), cfg.BoundingBox_CropSize_GT)

@@ -25,24 +25,17 @@ def run_vivo(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
     names, _ = get_obj_info(cfg.dataset_name)
     obj_id = names[obj_name]
 
-    samples = bop_io.get_dataset(cfg.bop_path, cfg.dataset_name,
-                                 train=False, eval_model=True,
-                                 data_folder=cfg.test_folder)
-    # unique image list for this dataset (vivo iterates images, not GT
-    # instances) with per-image camera params
-    rgb_files, cam_by_file = [], {}
-    seen = set()
-    for oi in range(len(samples.rgb_files)):
-        for fn, cam in zip(samples.rgb_files[oi], samples.cam_params[oi]):
-            if fn not in seen:
-                seen.add(fn)
-                rgb_files.append(fn)
-                cam_by_file[fn] = cam
-    rgb_files.sort()
+    # Vivo iterates IMAGES (not GT instances): build the image list from
+    # scene_camera.json + detections alone so GT-less challenge splits
+    # work (reference test_vivo.py:127-131 reads cameras per scene
+    # directly and drives the loop off the detection dict).
+    rgb_files, cam_by_file = bop_io.list_images_with_cameras(
+        cfg.bop_path, cfg.dataset_name, data_folder=cfg.test_folder)
+    dataset_dir = os.path.join(cfg.bop_path, cfg.dataset_name)
 
     dets = det_mod.load_detections(cfg.Detection_reaults)
     dataset, scores = build_vivo_dataset(
-        samples.dataset_dir, cfg.test_folder, rgb_files, cam_by_file,
+        dataset_dir, cfg.test_folder, rgb_files, cam_by_file,
         dets, obj_id, score_threshold,
         crop_size_img=cfg.BoundingBox_CropSize_image,
         crop_size_gt=cfg.BoundingBox_CropSize_GT,

@@ -59,11 +59,12 @@ def build_vivo_dataset(dataset_dir: str, data_folder: str,
 def evaluate_vivo(dataset: CropDatasetHost, scores: Sequence[float],
                   eval_step, obj_id: int, dataset_name: str,
                   obj_name: str, output_dir: Optional[str] = None,
-                  batch_size: int = 16
+                  batch_size: int = 16, variables=None
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Run pose estimation for every instance; CSV rows carry detector
     scores, failed instances are dropped (score -1)."""
-    Rs, ts, ok = run_inference(dataset, eval_step, batch_size)
+    Rs, ts, ok = run_inference(dataset, eval_step, batch_size,
+                               variables=variables)
     out_scores = [s if k else -1 for s, k in zip(scores, ok)]
     if output_dir is not None:
         ids = parse_sample_ids(dataset.rgb_files)
