@@ -146,6 +146,46 @@ def test_run_vivo_gtless_challenge_split(bop_tree, tmp_path):
     assert len(open(csv).read().splitlines()) == 1 + res["solved"]
 
 
+def test_run_test_mask_rcnn_plumbing(bop_tree, tmp_path):
+    """--mask_rcnn: detector RLE segmentations flow detections JSON ->
+    best_segmentations -> CropDatasetHost -> eval step (mask head
+    bypassed)."""
+    bop_path, det_path = bop_tree
+    # add an RLE covering the object box to every detection
+    det = json.load(open(det_path))
+    m = np.zeros((H, W), np.uint8)
+    m[30:70, 40:90] = 1
+    flat = m.reshape(-1, order="F")
+    changes = (np.flatnonzero(np.diff(flat)) + 1).tolist()
+    bounds = [0] + changes + [flat.size]
+    counts = np.diff(bounds).tolist()
+    for key in det:
+        for d in det[key]:
+            d["segmentation"] = {"counts": counts, "size": [H, W]}
+    det_path2 = str(tmp_path / "det_seg.json")
+    with open(det_path2, "w") as f:
+        json.dump(det, f)
+
+    torch.manual_seed(3)
+    net = ReferenceNet(variant="v2", code_len=16)
+    ckpt_path = str(tmp_path / "ckpt4.pth")
+    torch.save({"model_state_dict": net.state_dict()}, ckpt_path)
+    cfg = ZebraConfig.from_dict({
+        "bop_path": bop_path, "dataset_name": "lmo",
+        "test_folder": "test", "Detection_reaults": det_path2,
+        "BoundingBox_CropSize_image": 128,
+        "BoundingBox_CropSize_GT": 64,
+        "divide_number_each_itration": 2, "number_of_itration": 16,
+    })
+    out_dir = str(tmp_path / "out_mrcnn")
+    metrics = run_test(cfg, "ape", ckpt_path, out_dir, batch_size=3,
+                       mask_rcnn=True,
+                       pnp_cfg=PnPConfig(n_hypotheses=16, max_points=512))
+    assert "ADD_recall_0.1d" in metrics
+    assert os.path.exists(os.path.join(out_dir, "pose_result_bop",
+                                       "lmo_ape.csv"))
+
+
 def test_run_test_debug_and_refine_path(bop_tree, tmp_path):
     bop_path, det_path = bop_tree
     torch.manual_seed(1)
@@ -164,6 +204,17 @@ def test_run_test_debug_and_refine_path(bop_tree, tmp_path):
     metrics = run_test(cfg, "ape", ckpt_path, out_dir, batch_size=3,
                        debug=True,
                        pnp_cfg=PnPConfig(n_hypotheses=16, max_points=512))
-    assert os.path.isdir(os.path.join(out_dir, "debug"))
+    dbg = os.path.join(out_dir, "debug")
+    assert os.path.isdir(dbg)
+    # full artifact set (reference test.py:315-441): mask panel,
+    # per-bit code-error grid, GT pose silhouette overlay per sample
+    for i in range(3):
+        for name in ("mask", "code_err", "pose_gt"):
+            p = os.path.join(dbg, f"{i:06d}_{name}.png")
+            assert os.path.exists(p), p
+            assert os.path.getsize(p) > 100, p
+    # code-error grid must be a 4-wide bit-plane grid (16 bits -> 4x4)
+    grid = cv2.imread(os.path.join(dbg, "000000_code_err.png"))
+    assert grid.shape == (64 * 4, 64 * 4, 3)
     assert os.path.exists(os.path.join(out_dir, "pose_result_bop",
                                        "lmo_ape.csv"))

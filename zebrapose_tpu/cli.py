@@ -57,6 +57,9 @@ def main(argv=None):
     p_test.add_argument("--debug", action="store_true")
     p_test.add_argument("--batch_size", type=int, default=16)
     p_test.add_argument("--max_samples", type=int, default=None)
+    p_test.add_argument("--mask_rcnn", action="store_true",
+                        help="use the detector's RLE segmentation instead "
+                             "of the mask head (test_for_mask_rcnn.py)")
     p_test.add_argument("--profile", default=None,
                         help="write a JAX profiler trace to this dir")
 
@@ -68,6 +71,9 @@ def main(argv=None):
     p_vivo.add_argument("--variant", default="v2")
     p_vivo.add_argument("--score_threshold", type=float, default=0.2)
     p_vivo.add_argument("--batch_size", type=int, default=16)
+    p_vivo.add_argument("--mask_rcnn", action="store_true",
+                        help="use detector RLE segmentations "
+                             "(test_vivo_for_mask_rcnn.py)")
 
     p_mesh = sub.add_parser("generate-mesh-code",
                             help="hierarchical surface encoding of a mesh")
@@ -135,7 +141,7 @@ def main(argv=None):
                 cfg, args.obj_name, args.ckpt_file, args.output_dir,
                 ignore_bit=args.ignore_bit, variant=args.variant,
                 debug=args.debug, batch_size=args.batch_size,
-                max_samples=args.max_samples)
+                max_samples=args.max_samples, mask_rcnn=args.mask_rcnn)
         print(json.dumps(metrics, indent=2))
         return 0
 
@@ -144,7 +150,7 @@ def main(argv=None):
         metrics = run_vivo(
             cfg, args.obj_name, args.ckpt_file, args.output_dir,
             variant=args.variant, score_threshold=args.score_threshold,
-            batch_size=args.batch_size)
+            batch_size=args.batch_size, mask_rcnn=args.mask_rcnn)
         print(json.dumps(metrics, indent=2))
         return 0
 

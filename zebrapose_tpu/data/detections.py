@@ -73,6 +73,8 @@ def all_instances(detections: Dict[str, list], rgb_fns: List[str],
             entry = {"bbox_est": np.array(
                 [int(v) for v in d["bbox_est"]], np.int64),
                 "score": float(d["score"])}
+            if "segmentation" in d:  # Mask-RCNN detector output
+                entry["segmentation"] = d["segmentation"]
             out.setdefault(fn, []).append(entry)
     return out
 

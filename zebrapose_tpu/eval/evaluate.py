@@ -63,7 +63,9 @@ def make_eval_step(forward_fn, lut: CorrespondenceLUT,
                    crop_img: int, crop_gt: int, base: int, n_bits: int,
                    resize_method: str, loss_type: str,
                    pnp_cfg: PnPConfig, ignore_bits: int = 0,
-                   return_masks: bool = False):
+                   return_masks: bool = False,
+                   return_codes: bool = False,
+                   mask_from_dataset: bool = False):
     """Build the jitted batch program: raw images -> (R, t, success).
 
     forward_fn(batch, variables) -> {"mask", "code", ...} logits; for the
@@ -83,7 +85,13 @@ def make_eval_step(forward_fn, lut: CorrespondenceLUT,
             raw, key, crop_img=crop_img, crop_gt=crop_gt, base=base,
             n_bits=n_bits, is_train=False, resize_method=resize_method)
         out = forward_fn(batch, variables)
-        masks = mask_from_logits(out["mask"][..., 0])
+        if mask_from_dataset:
+            # Mask-RCNN variant: the detector's RLE mask (threaded through
+            # the dataset as batch["mask"]) replaces the network's mask
+            # head for decode (test_for_mask_rcnn.py:248-251).
+            masks = (batch["mask"] > 0.5).astype(jnp.float32)
+        else:
+            masks = mask_from_logits(out["mask"][..., 0])
         codes = code_from_logits(out["code"], loss_type, base=base)
         if ignore_bits:
             codes = codes[..., :n_bits - ignore_bits]
@@ -109,27 +117,38 @@ def make_eval_step(forward_fn, lut: CorrespondenceLUT,
         keys = jax.random.split(key, masks.shape[0])
         poses = jax.vmap(decode_one)(masks, codes, final_bbox, K, keys,
                                      raw["valid"])
+        extra = ()
         if return_masks:
-            entire = mask_from_logits(
-                out.get("entire_mask", out["mask"])[..., 0])
-            return poses + (masks, entire)
-        return poses
+            if mask_from_dataset:
+                # reference mask-rcnn refine uses the dataloader's entire
+                # mask (test_for_mask_rcnn.py:281-287)
+                entire = (batch["entire_mask"] > 0.5).astype(jnp.float32)
+            else:
+                entire = mask_from_logits(
+                    out.get("entire_mask", out["mask"])[..., 0])
+            extra = (masks, entire)
+        if return_codes:  # debug only: [B,H,W,n_bits] device->host
+            extra = extra + (codes,)
+        return poses + extra
 
     return step
 
 
 def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
                   seed: int = 0, variables=None,
-                  collect_masks: bool = False):
-    """Run the jitted eval step over the dataset. Returns (R, t, success)
-    or, with collect_masks (eval step built with return_masks=True),
-    (R, t, success, visible_masks, entire_masks)."""
+                  collect_masks: bool = False,
+                  collect_codes: bool = False):
+    """Run the jitted eval step over the dataset. Returns (R, t, success),
+    plus (visible_masks, entire_masks) with collect_masks (eval step built
+    with return_masks=True), plus (codes) with collect_codes (eval step
+    built with return_codes=True)."""
     n = len(dataset)
     Rs = np.zeros((n, 3, 3), np.float32)
     ts = np.zeros((n, 3), np.float32)
     ok = np.zeros((n,), bool)
     vis_masks: List[np.ndarray] = []
     ent_masks: List[np.ndarray] = []
+    code_list: List[np.ndarray] = []
     key = jax.random.PRNGKey(seed)
     for start in range(0, n, batch_size):
         idx = list(range(start, min(start + batch_size, n)))
@@ -146,12 +165,19 @@ def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
         Rs[start:start + m] = np.asarray(R_b)[:m]
         ts[start:start + m] = np.asarray(t_b)[:m]
         ok[start:start + m] = np.asarray(ok_b)[:m]
+        pos = 4
         if collect_masks:
-            vis_masks.extend(np.asarray(out[4])[:m])
-            ent_masks.extend(np.asarray(out[5])[:m])
+            vis_masks.extend(np.asarray(out[pos])[:m])
+            ent_masks.extend(np.asarray(out[pos + 1])[:m])
+            pos += 2
+        if collect_codes:
+            code_list.extend(np.asarray(out[pos])[:m])
+    result = (Rs, ts, ok)
     if collect_masks:
-        return Rs, ts, ok, np.array(vis_masks), np.array(ent_masks)
-    return Rs, ts, ok
+        result = result + (np.array(vis_masks), np.array(ent_masks))
+    if collect_codes:
+        result = result + (np.array(code_list),)
+    return result
 
 
 def pose_errors(dataset: CropDatasetHost, Rs, ts, ok,

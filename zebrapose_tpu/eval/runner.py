@@ -121,8 +121,12 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
              debug: bool = False, batch_size: int = 16,
              pnp_cfg: Optional[PnPConfig] = None,
              gt_dir_suffix: str = "_GT_v2",
-             max_samples: Optional[int] = None) -> Dict[str, float]:
-    """Single-instance evaluation of one object (test.py main)."""
+             max_samples: Optional[int] = None,
+             mask_rcnn: bool = False) -> Dict[str, float]:
+    """Single-instance evaluation of one object (test.py main).
+
+    mask_rcnn: use the detector's RLE segmentation in place of the
+    network's mask head (reference test_for_mask_rcnn.py)."""
     names, _ = get_obj_info(cfg.dataset_name)
     obj_id = names[obj_name]
 
@@ -137,6 +141,7 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
     lists = list(samples.for_obj(obj_id))
 
     det_bboxes = None
+    det_segs = None
     scores = None
     if cfg.Detection_reaults not in ("none", "", None):
         dets = det_mod.load_detections(cfg.Detection_reaults)
@@ -146,18 +151,26 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
                      for l in lists]
         det_bboxes = det_mod.best_bboxes(dets, lists[0], obj_id)
         scores = det_mod.best_scores(dets, lists[0], obj_id)
+        if mask_rcnn:
+            det_segs = det_mod.best_segmentations(dets, lists[0], obj_id)
+    elif mask_rcnn:
+        raise ValueError("mask_rcnn requires Detection_reaults with "
+                         "RLE segmentations")
     if max_samples is not None:
         lists = [l[:max_samples] for l in lists]
         if det_bboxes is not None:
             det_bboxes = det_bboxes[:max_samples]
             scores = scores[:max_samples]
+        if det_segs is not None:
+            det_segs = det_segs[:max_samples]
 
     dataset = CropDatasetHost(
         samples.dataset_dir, cfg.test_folder, *lists, is_train=False,
         crop_size_img=cfg.BoundingBox_CropSize_image,
         crop_size_gt=cfg.BoundingBox_CropSize_GT,
         padding_ratio=cfg.padding_ratio, resize_method=cfg.resize_method,
-        gt_dir_suffix=gt_dir_suffix, detect_bboxes=det_bboxes)
+        gt_dir_suffix=gt_dir_suffix, detect_bboxes=det_bboxes,
+        detect_segmentations=det_segs)
 
     lut = load_correspondence_lut(os.path.join(
         cfg.bop_path, cfg.dataset_name, "models_GT_color",
@@ -183,14 +196,19 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
         base=cfg.divide_number_each_itration,
         n_bits=cfg.number_of_itration, resize_method=cfg.resize_method,
         loss_type=cfg.BinaryCode_Loss_Type, pnp_cfg=pnp_cfg,
-        ignore_bits=ignore_bit, return_masks=cfg.refine or debug)
+        ignore_bits=ignore_bit, return_masks=cfg.refine or debug,
+        return_codes=debug, mask_from_dataset=mask_rcnn)
 
     symmetric = is_symmetric(cfg.dataset_name, obj_name)
 
     if cfg.refine or debug:
         out = run_inference(dataset, eval_step, batch_size,
-                            variables=variables, collect_masks=True)
-        Rs, ts, ok, vis_masks, ent_masks = out
+                            variables=variables, collect_masks=True,
+                            collect_codes=debug)
+        if debug:
+            Rs, ts, ok, vis_masks, ent_masks, pred_codes = out
+        else:
+            Rs, ts, ok, vis_masks, ent_masks = out
         if cfg.refine and "faces" in mesh:
             im_size = (samples.cam_param_global or {}).get("im_size")
             if im_size is None:
@@ -222,13 +240,39 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
                   [t.reshape(3, 1) for t in ts],
                   scores if scores is not None else [1.0] * len(dataset))
         if debug:
-            from zebrapose_tpu.utils.visualize import save_mask_panel
+            # Full debug artifact set per sample (reference
+            # test.py:315-441): pred/GT mask panel, per-bit code-error
+            # grid, predicted + GT pose silhouette overlays on the crop.
+            from zebrapose_tpu.codec.surface_code import (class_id_to_code,
+                                                          rgb_to_class_id)
+            from zebrapose_tpu.utils.visualize import (dump_debug_sample,
+                                                       host_crop)
             dbg = os.path.join(output_dir, "debug")
             os.makedirs(dbg, exist_ok=True)
+            faces = mesh.get("faces")
+            n_code_bits = pred_codes.shape[-1]
             for i in range(min(len(dataset), 16)):
-                save_mask_panel(
-                    os.path.join(dbg, f"{i:06d}_mask.png"),
-                    vis_masks[i], None)
+                raw = dataset.get_raw(i)
+                fb = raw["final_bbox"]
+                sz = cfg.BoundingBox_CropSize_GT
+                crop_bgr = host_crop(raw["rgb"], fb, sz)
+                gt_mask = host_crop(raw["mask"], fb, sz,
+                                    nearest=True).astype(np.float32) / 255.0
+                label_crop = host_crop(raw["label"], fb, sz, nearest=True)
+                gt_code = np.asarray(class_id_to_code(
+                    rgb_to_class_id(label_crop.astype(np.int32)),
+                    base=cfg.divide_number_each_itration,
+                    n_digits=cfg.number_of_itration))[..., :n_code_bits]
+                has_gt = dataset.gts[i] is not None
+                dump_debug_sample(
+                    dbg, i, crop_bgr, vis_masks[i], gt_mask,
+                    pred_codes[i], gt_code,
+                    vertices,
+                    faces.astype(np.int32) if faces is not None else None,
+                    raw["K"].astype(np.float64), Rs[i], ts[i], fb,
+                    R_gt=raw["R"] if has_gt else None,
+                    t_gt=raw["t"] if has_gt else None,
+                    render_pred=bool(ok[i]))
         result_metrics = metrics
     else:
         res = evaluate_object(

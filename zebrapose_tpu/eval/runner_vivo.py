@@ -21,7 +21,8 @@ from zebrapose_tpu.ops.pnp import PnPConfig
 def run_vivo(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
              output_dir: str, variant: str = "v2",
              score_threshold: float = 0.2, batch_size: int = 16,
-             pnp_cfg: Optional[PnPConfig] = None) -> Dict[str, float]:
+             pnp_cfg: Optional[PnPConfig] = None,
+             mask_rcnn: bool = False) -> Dict[str, float]:
     names, _ = get_obj_info(cfg.dataset_name)
     obj_id = names[obj_name]
 
@@ -40,7 +41,8 @@ def run_vivo(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
         crop_size_img=cfg.BoundingBox_CropSize_image,
         crop_size_gt=cfg.BoundingBox_CropSize_GT,
         padding_ratio=cfg.padding_ratio,
-        resize_method=cfg.resize_method)
+        resize_method=cfg.resize_method,
+        use_segmentation=mask_rcnn)
 
     lut = load_correspondence_lut(os.path.join(
         cfg.bop_path, cfg.dataset_name, "models_GT_color",
@@ -60,7 +62,8 @@ def run_vivo(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
         base=cfg.divide_number_each_itration,
         n_bits=cfg.number_of_itration, resize_method=cfg.resize_method,
         loss_type=cfg.BinaryCode_Loss_Type,
-        pnp_cfg=pnp_cfg or PnPConfig())
+        pnp_cfg=pnp_cfg or PnPConfig(),
+        mask_from_dataset=mask_rcnn)
 
     Rs, ts, ok = evaluate_vivo(dataset, scores, eval_step, obj_id,
                                cfg.dataset_name, obj_name,

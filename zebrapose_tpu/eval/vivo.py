@@ -28,23 +28,27 @@ def build_vivo_dataset(dataset_dir: str, data_folder: str,
                        score_threshold: float = 0.2,
                        crop_size_img: int = 256, crop_size_gt: int = 128,
                        padding_ratio: float = 1.5,
-                       resize_method: str = "crop_square_resize"
+                       resize_method: str = "crop_square_resize",
+                       use_segmentation: bool = False
                        ) -> Tuple[CropDatasetHost, List[float]]:
     """Flatten per-image detection lists into a per-instance dataset.
 
     cam_params_by_file: rgb path -> {"cam_K": [3,3]}. Returns the dataset
     plus per-instance detector scores (carried into the CSV like
-    test_vivo.py:187-190).
+    test_vivo.py:187-190). With use_segmentation, each instance's
+    detector RLE replaces its visible mask (the Mask-RCNN variant,
+    test_vivo_for_mask_rcnn.py).
     """
     per_image = all_instances(detections, list(rgb_files), obj_id,
                               score_threshold)
-    rgb, bboxes, scores, cams = [], [], [], []
+    rgb, bboxes, scores, cams, segs = [], [], [], [], []
     for fn in rgb_files:
         for det in per_image.get(fn, []):
             rgb.append(fn)
             bboxes.append(np.asarray(det["bbox_est"]))
             scores.append(det["score"])
             cams.append(cam_params_by_file[fn])
+            segs.append(det.get("segmentation"))
     n = len(rgb)
     dataset = CropDatasetHost(
         dataset_dir, data_folder, rgb,
@@ -52,7 +56,8 @@ def build_vivo_dataset(dataset_dir: str, data_folder: str,
         gts=[None] * n, gt_infos=[None] * n, cam_params=cams,
         is_train=False, crop_size_img=crop_size_img,
         crop_size_gt=crop_size_gt, padding_ratio=padding_ratio,
-        resize_method=resize_method, detect_bboxes=bboxes)
+        resize_method=resize_method, detect_bboxes=bboxes,
+        detect_segmentations=segs if use_segmentation else None)
     return dataset, scores
 
 

@@ -15,6 +15,25 @@ import cv2
 import numpy as np
 
 
+def host_crop(img: np.ndarray, final_bbox, size: int,
+              nearest: bool = False) -> np.ndarray:
+    """Crop the final-bbox region (zero-padded outside the image) and
+    resize to `size` — a host-side cv2 approximation of the device crop,
+    good enough for debug artifacts (full cv2-parity crops live in
+    ops/roi.py on device)."""
+    x, y, w, h = (int(v) for v in final_bbox[:4])
+    w, h = max(w, 1), max(h, 1)
+    H, W = img.shape[:2]
+    canvas_shape = (h, w) + img.shape[2:]
+    canvas = np.zeros(canvas_shape, img.dtype)
+    sx0, sy0 = max(x, 0), max(y, 0)
+    sx1, sy1 = min(x + w, W), min(y + h, H)
+    if sx1 > sx0 and sy1 > sy0:
+        canvas[sy0 - y:sy1 - y, sx0 - x:sx1 - x] = img[sy0:sy1, sx0:sx1]
+    interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
+    return cv2.resize(canvas, (size, size), interpolation=interp)
+
+
 def save_mask_panel(path: str, pred_mask: np.ndarray,
                     gt_mask: Optional[np.ndarray] = None) -> None:
     """Side-by-side mask comparison (u8 panel)."""
@@ -81,14 +100,20 @@ def save_pose_overlay(path: str, crop_bgr: np.ndarray,
 def dump_debug_sample(out_dir: str, index: int, crop_bgr, pred_mask,
                       gt_mask, pred_code, gt_code, mesh_pts, mesh_faces,
                       K, R_pred, t_pred, final_bbox,
-                      R_gt=None, t_gt=None) -> None:
-    """One-call debug dump for a single evaluated sample."""
+                      R_gt=None, t_gt=None,
+                      render_pred: bool = True) -> None:
+    """One-call debug dump for a single evaluated sample. Pose overlays
+    are skipped when the mesh has no faces (point-cloud PLY) or the
+    predicted pose is a failure placeholder (render_pred=False)."""
     os.makedirs(out_dir, exist_ok=True)
     p = lambda name: os.path.join(out_dir, f"{index:06d}_{name}.png")
     save_mask_panel(p("mask"), pred_mask, gt_mask)
     save_code_grid(p("code_err"), pred_code, gt_code)
-    save_pose_overlay(p("pose"), crop_bgr, mesh_pts, mesh_faces, K,
-                      R_pred, t_pred, final_bbox, crop_bgr.shape[0])
+    if mesh_faces is None or len(mesh_faces) == 0:
+        return
+    if render_pred:
+        save_pose_overlay(p("pose"), crop_bgr, mesh_pts, mesh_faces, K,
+                          R_pred, t_pred, final_bbox, crop_bgr.shape[0])
     if R_gt is not None:
         save_pose_overlay(p("pose_gt"), crop_bgr, mesh_pts, mesh_faces,
                           K, R_gt, t_gt, final_bbox, crop_bgr.shape[0],
