@@ -78,7 +78,10 @@ def test_build_train_setup(tmp_path):
         "divide_number_each_itration": 2, "number_of_itration": 8,
         "batch_size": 4, "total_iteration": 800, "num_workers": 2,
     })
-    res = build_train_setup(cfg, "ape", str(tmp_path / "run"))
+    # explicit opt-out of ImageNet weights (no .pth in the test env;
+    # "auto" fails loudly by design)
+    res = build_train_setup(cfg, "ape", str(tmp_path / "run"),
+                            pretrained_backbone=None)
     try:
         assert res.obj_id == 1 and res.diameter == 80.0
         assert not res.symmetric
@@ -95,3 +98,42 @@ def test_build_train_setup(tmp_path):
         res.train_iter.close()
         res.ckpt.close()
         res.logger.close()
+
+
+def test_pretrained_auto_fails_loudly(tmp_path, monkeypatch):
+    """The reference ALWAYS trains from ImageNet weights
+    (model/resnet.py:186-189): 'auto' with no .pth anywhere must raise,
+    not silently train from scratch."""
+    from zebrapose_tpu.train.trainer import _resolve_pretrained
+    monkeypatch.delenv("ZEBRAPOSE_PRETRAINED_BACKBONE", raising=False)
+    monkeypatch.chdir(tmp_path)  # no candidate files here
+    with pytest.raises(FileNotFoundError, match="resnet34-333f7ec4"):
+        _resolve_pretrained("auto")
+    # env var resolution
+    p = tmp_path / "w.pth"
+    p.write_bytes(b"x")
+    monkeypatch.setenv("ZEBRAPOSE_PRETRAINED_BACKBONE", str(p))
+    assert _resolve_pretrained("auto") == str(p)
+    # explicit path must exist
+    with pytest.raises(FileNotFoundError):
+        _resolve_pretrained(str(tmp_path / "missing.pth"))
+    # explicit opt-out
+    assert _resolve_pretrained(None) is None
+
+
+def test_unsupported_optimizer_type_raises():
+    from zebrapose_tpu.train.trainer import _warn_ignored_config
+    cfg = ZebraConfig.from_dict({"optimizer_type": "SGD"})
+    with pytest.raises(ValueError, match="optimizer_type"):
+        _warn_ignored_config(cfg)
+
+
+def test_gamma_schedule_matches_reference_steplr():
+    """StepLR(step_size=10, gamma) stepped once per 1000 train iters
+    (train_v3.py:205,330): lr after 200k iters = base * gamma^20."""
+    from zebrapose_tpu.train.state import make_lr_schedule
+    sched = make_lr_schedule(2e-4, gamma=0.7)
+    assert np.isclose(float(sched(0)), 2e-4)
+    assert np.isclose(float(sched(9_999)), 2e-4)       # before 1st decay
+    assert np.isclose(float(sched(10_000)), 2e-4 * 0.7)
+    assert np.isclose(float(sched(200_000)), 2e-4 * 0.7 ** 20)

@@ -98,3 +98,46 @@ def test_fit_runs_logs_checkpoints_and_resumes(tmp_path):
     fit(res2, log_freq=5, validate=False, max_steps=5)
     train_iter2.close()
     assert res.ckpt.latest_step() == 15
+
+
+def test_fit_loss_only_validation(tmp_path):
+    """val_mode='loss' (train_v6.py:364-399): validation logs mean
+    mask/code losses, never pose metrics, and does not touch best."""
+    ds_dir, lists, lut = _build_scene(tmp_path, n_imgs=3)
+    rgb, mask, maskv, gts, gtis, cams = lists
+    mk = lambda train: CropDatasetHost(
+        ds_dir, "test", rgb, mask, maskv, gts, gtis, cams,
+        is_train=train, crop_size_img=64, crop_size_gt=32)
+    cfg = ZebraConfig.from_dict({
+        "BoundingBox_CropSize_image": 64,
+        "BoundingBox_CropSize_GT": 32,
+        "batch_size": 8, "total_iteration": 1000,
+        "predict_entire_mask": True})
+    model = TinyZebra()
+    variables = model.init(jax.random.PRNGKey(2),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    state = create_train_state(model, dict(variables), 1e-3)
+    out_dir = str(tmp_path / "run_lossval")
+    train_iter = MixedBatchIterator(mk(True), None, batch_size=8)
+    res = TrainResources(
+        cfg=cfg, model=model, state=state, mesh=make_mesh(),
+        train_iter=train_iter, val_dataset=mk(False), lut=lut,
+        vertices=lut.points[lut.valid][::11], diameter=80.0,
+        symmetric=False, obj_id=1, obj_name="ape",
+        ckpt=CheckpointManager(os.path.join(out_dir, "ck")),
+        logger=MetricsLogger(os.path.join(out_dir, "logs"),
+                             also_stdout=False),
+        total_iterations=1000, val_batch_size=3)
+
+    best = fit(res, log_freq=5, validate=True, max_steps=5,
+               val_mode="loss")
+    assert best == 0.0  # loss-only val never selects a best checkpoint
+    rows = [json.loads(l) for l in
+            open(os.path.join(out_dir, "logs", "metrics.jsonl"))]
+    tags = {r["tag"] for r in rows}
+    assert "val/loss_total" in tags
+    assert not any(t.startswith("val/ADD") for t in tags)
+    vals = [r["value"] for r in rows if r["tag"] == "val/loss_total"]
+    assert np.isfinite(vals).all()
+    # fit() closed the iterator (try/finally); a second close is a no-op
+    train_iter.close()

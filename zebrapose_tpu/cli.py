@@ -34,8 +34,21 @@ def main(argv=None):
     p_train.add_argument("--output_dir", default="runs")
     p_train.add_argument("--variant", default="v2",
                          choices=["v1", "v2", "v3"])
-    p_train.add_argument("--pretrained_backbone", default=None,
-                         help="torchvision resnet34 .pth")
+    p_train.add_argument("--pretrained_backbone", default="auto",
+                         help="torchvision resnet34 .pth; 'auto' searches "
+                              "known locations and fails loudly if absent "
+                              "(the reference always trains from ImageNet "
+                              "weights, model/resnet.py:186-189)")
+    p_train.add_argument("--from_scratch", action="store_true",
+                         help="explicitly train from random init")
+    p_train.add_argument("--gamma", type=float, default=1.0,
+                         help="StepLR decay per 10 validation cadences "
+                              "(1.0 = train_v2/v5, 0.7 = train_v3)")
+    p_train.add_argument("--val_mode", default="pose",
+                         choices=["pose", "loss"],
+                         help="pose = decode->PnP->recall w/ best ckpt "
+                              "(train_v2); loss = loss-only val logging "
+                              "(train_v6)")
     p_train.add_argument("--max_steps", type=int, default=None)
     p_train.add_argument("--log_freq", type=int, default=1000)
     p_train.add_argument("--profile", default=None,
@@ -125,11 +138,12 @@ def main(argv=None):
         from zebrapose_tpu.utils.profiling import profile_trace
         res = build_train_setup(
             cfg, args.obj_name, out, variant=args.variant,
-            pretrained_backbone=args.pretrained_backbone,
-            bf16=args.bf16)
+            pretrained_backbone=(None if args.from_scratch
+                                 else args.pretrained_backbone),
+            bf16=args.bf16, gamma=args.gamma)
         with profile_trace(args.profile):
             best = fit(res, log_freq=args.log_freq,
-                       max_steps=args.max_steps)
+                       max_steps=args.max_steps, val_mode=args.val_mode)
         print(f"best val recall: {best}")
         return 0
 

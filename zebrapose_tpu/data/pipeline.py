@@ -316,6 +316,15 @@ class MixedBatchIterator:
         return self._q.get()
 
     def close(self):
+        """Stop the prefetch thread BEFORE shutting the sample pool down
+        (shutting the pool first made in-flight collate calls raise
+        'cannot schedule new futures after shutdown' from the worker)."""
         self._stop.set()
+        try:  # unblock a producer stuck on a full queue
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=10.0)
         if self._pool is not None:
             self._pool.shutdown(wait=False)

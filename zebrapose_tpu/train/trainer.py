@@ -79,9 +79,58 @@ def _loss_cfg(cfg: ZebraConfig) -> CodeLossConfig:
         n_bits=cfg.number_of_itration)
 
 
+def _validate_loss_only(res: TrainResources, state: TrainState,
+                        loss_cfg: CodeLossConfig) -> dict:
+    """Loss-only validation (train_v6.py:364-399): mean mask/code loss
+    over the val split, no pose decode. Logged, not used for best-ckpt
+    selection (matching the reference, which only writes the scalars)."""
+    from zebrapose_tpu.train.train_step import eval_loss_step
+
+    cfg = res.cfg
+    ds = res.val_dataset
+    n = len(ds)
+    if n == 0:
+        return {}
+    sums: dict = {}
+    n_batches = 0
+    # batch must divide across the mesh; pad the ragged tail by wrapping
+    # (duplicate samples shift the logged mean negligibly; the reference
+    # has no sharding constraint to honor here)
+    world = int(res.mesh.devices.size)
+    bs = max(world, (res.val_batch_size + world - 1) // world * world)
+    key = jax.random.PRNGKey(1)
+    for start in range(0, n, bs):
+        raw = ds.collate([(start + j) % n for j in range(bs)])
+        feed = {k: raw[k] for k in ("rgb", "label", "mask", "entire_mask",
+                                    "roi_param", "valid")}
+        batch = preprocess_batch(
+            shard_batch(res.mesh, feed), key,
+            crop_img=cfg.BoundingBox_CropSize_image,
+            crop_gt=cfg.BoundingBox_CropSize_GT,
+            base=cfg.divide_number_each_itration,
+            n_bits=cfg.number_of_itration, is_train=False,
+            resize_method=cfg.resize_method)
+        metrics = eval_loss_step(
+            state, batch, loss_cfg,
+            binary_loss_weight=float(cfg.binary_loss_weight),
+            predict_entire_mask=cfg.predict_entire_mask)
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + float(jax.device_get(v))
+        n_batches += 1
+    return {k: v / max(n_batches, 1) for k, v in sums.items()}
+
+
 def fit(res: TrainResources, log_freq: int = 1000,
-        validate: bool = True, max_steps: Optional[int] = None) -> float:
-    """Run the training loop; returns the best validation recall."""
+        validate: bool = True, max_steps: Optional[int] = None,
+        val_mode: str = "pose") -> float:
+    """Run the training loop; returns the best validation recall.
+
+    val_mode: "pose" = full decode->PnP->ADD recall validation with
+    best-checkpoint selection (train_v2 semantics); "loss" = loss-only
+    validation, logged but never selecting a best checkpoint (train_v6
+    semantics)."""
+    if val_mode not in ("pose", "loss"):
+        raise ValueError(f"unknown val_mode: {val_mode}")
     cfg = res.cfg
     loss_cfg = _loss_cfg(cfg)
     model = res.model
@@ -94,7 +143,7 @@ def fit(res: TrainResources, log_freq: int = 1000,
                   "histogram", "best_score")})
 
     eval_step = None
-    if validate and res.val_dataset is not None:
+    if validate and val_mode == "pose" and res.val_dataset is not None:
         eval_step = make_eval_step(
             lambda b, v: model.apply(v, b["image"], train=False),
             res.lut, crop_img=cfg.BoundingBox_CropSize_image,
@@ -110,51 +159,114 @@ def fit(res: TrainResources, log_freq: int = 1000,
     end_step = res.total_iterations if max_steps is None else \
         min(start_step + max_steps, res.total_iterations)
 
-    for it in range(start_step, end_step):
-        raw = next(res.train_iter)
-        feed = {k: raw[k] for k in ("rgb", "label", "mask", "entire_mask",
-                                    "roi_param", "valid")}
-        batch = preprocess_batch(
-            shard_batch(res.mesh, feed), jax.random.fold_in(key, it),
-            crop_img=cfg.BoundingBox_CropSize_image,
-            crop_gt=cfg.BoundingBox_CropSize_GT,
-            base=cfg.divide_number_each_itration,
-            n_bits=cfg.number_of_itration, is_train=True,
-            resize_method=cfg.resize_method,
-            use_pepper_salt=cfg.use_peper_salt,
-            use_motion_blur=cfg.use_motion_blur)
-        state, metrics = train_step(
-            state, batch, loss_cfg,
-            binary_loss_weight=float(cfg.binary_loss_weight),
-            predict_entire_mask=cfg.predict_entire_mask)
+    try:
+        for it in range(start_step, end_step):
+            raw = next(res.train_iter)
+            feed = {k: raw[k] for k in ("rgb", "label", "mask",
+                                        "entire_mask", "roi_param",
+                                        "valid")}
+            batch = preprocess_batch(
+                shard_batch(res.mesh, feed), jax.random.fold_in(key, it),
+                crop_img=cfg.BoundingBox_CropSize_image,
+                crop_gt=cfg.BoundingBox_CropSize_GT,
+                base=cfg.divide_number_each_itration,
+                n_bits=cfg.number_of_itration, is_train=True,
+                resize_method=cfg.resize_method,
+                use_pepper_salt=cfg.use_peper_salt,
+                use_motion_blur=cfg.use_motion_blur)
+            state, metrics = train_step(
+                state, batch, loss_cfg,
+                binary_loss_weight=float(cfg.binary_loss_weight),
+                predict_entire_mask=cfg.predict_entire_mask)
 
-        if (it + 1) % log_freq == 0 or it + 1 == end_step:
-            scalars = {k: float(jax.device_get(v))
-                       for k, v in metrics.items()}
-            hist = np.asarray(jax.device_get(state.histogram))
-            scalars.update({f"bit_err_{i}": float(h)
-                            for i, h in enumerate(hist)})
-            res.logger.log(it + 1, scalars, prefix="train/")
-            res.ckpt.save(state)
+            if (it + 1) % log_freq == 0 or it + 1 == end_step:
+                scalars = {k: float(jax.device_get(v))
+                           for k, v in metrics.items()}
+                hist = np.asarray(jax.device_get(state.histogram))
+                scalars.update({f"bit_err_{i}": float(h)
+                                for i, h in enumerate(hist)})
+                res.logger.log(it + 1, scalars, prefix="train/")
+                res.ckpt.save(state)
 
-            if eval_step is not None:
-                variables = {"params": jax.device_get(state.params),
-                             "batch_stats":
-                                 jax.device_get(state.batch_stats)}
-                r = evaluate_object(
-                    res.val_dataset, eval_step, res.vertices,
-                    res.diameter, res.symmetric, res.obj_id, "val",
-                    res.obj_name, batch_size=res.val_batch_size,
-                    variables=variables)
-                prefix = "ADD-S" if res.symmetric else "ADD"
-                recall = r.metrics[f"{prefix}_recall_0.1d"]
-                res.logger.log(it + 1, r.metrics, prefix="val/")
-                if recall > best:
-                    best = recall
-                    state = state.replace(
-                        best_score=jnp.full((), best, jnp.float32))
-                    res.ckpt.save_best(state, best)
+                if eval_step is not None:
+                    variables = {
+                        "params": jax.device_get(state.params),
+                        "batch_stats": jax.device_get(state.batch_stats)}
+                    r = evaluate_object(
+                        res.val_dataset, eval_step, res.vertices,
+                        res.diameter, res.symmetric, res.obj_id, "val",
+                        res.obj_name, batch_size=res.val_batch_size,
+                        variables=variables)
+                    prefix = "ADD-S" if res.symmetric else "ADD"
+                    recall = r.metrics[f"{prefix}_recall_0.1d"]
+                    res.logger.log(it + 1, r.metrics, prefix="val/")
+                    if recall > best:
+                        best = recall
+                        state = state.replace(
+                            best_score=jnp.full((), best, jnp.float32))
+                        res.ckpt.save_best(state, best)
+                elif (validate and val_mode == "loss"
+                        and res.val_dataset is not None):
+                    vals = _validate_loss_only(res, state, loss_cfg)
+                    res.logger.log(it + 1, vals, prefix="val/")
+    finally:
+        res.train_iter.close()
     return best
+
+
+_PRETRAINED_CANDIDATES = (
+    "pretrained_backbone/resnet/resnet34-333f7ec4.pth",
+    "pretrained_backbone/resnet34-333f7ec4.pth",
+)
+
+
+def _resolve_pretrained(pretrained_backbone: Optional[str]
+                        ) -> Optional[str]:
+    """Resolve the ImageNet backbone .pth. The reference ALWAYS trains
+    from torchvision resnet34 ImageNet weights (model/resnet.py:186-189);
+    silently training from scratch misses parity by a mile, so "auto"
+    fails loudly when no weights are found. Pass pretrained_backbone=None
+    to explicitly opt out (--from_scratch on the CLI)."""
+    if pretrained_backbone is None:
+        return None
+    if pretrained_backbone != "auto":
+        if not os.path.exists(pretrained_backbone):
+            raise FileNotFoundError(
+                f"pretrained backbone not found: {pretrained_backbone}")
+        return pretrained_backbone
+    env = os.environ.get("ZEBRAPOSE_PRETRAINED_BACKBONE")
+    candidates = ([env] if env else []) + [
+        os.path.join(base, rel)
+        for base in (os.getcwd(),
+                     os.path.dirname(os.path.dirname(
+                         os.path.abspath(__file__))))
+        for rel in _PRETRAINED_CANDIDATES]
+    for c in candidates:
+        if c and os.path.exists(c):
+            return c
+    raise FileNotFoundError(
+        "No ImageNet backbone weights found (searched "
+        f"{candidates}). The reference always initializes from "
+        "torchvision resnet34-333f7ec4.pth (model/resnet.py:186-189); "
+        "download it, point ZEBRAPOSE_PRETRAINED_BACKBONE or "
+        "--pretrained_backbone at it, or pass --from_scratch to "
+        "explicitly train from random init.")
+
+
+def _warn_ignored_config(cfg: ZebraConfig) -> None:
+    """Fail/warn loudly on accepted-but-unsupported knobs instead of
+    silently no-oping them."""
+    import warnings
+
+    if str(cfg.optimizer_type) != "Adam":
+        raise ValueError(
+            f"optimizer_type={cfg.optimizer_type!r} is not supported: "
+            "every reference recipe uses Adam (train_v2.py:206)")
+    if cfg.tensorboard_path not in ("tb/", "", "none", None):
+        warnings.warn(
+            "tensorboard_path is ignored: metrics go to JSONL under "
+            "<output_dir>/logs (plus tensorboardX if installed)",
+            stacklevel=3)
 
 
 def build_train_setup(cfg: ZebraConfig, obj_name: str,
@@ -162,17 +274,24 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
                       mesh=None,
                       gt_dir_suffix: str = "_GT_v2",
                       variant: str = "v2",
-                      pretrained_backbone: Optional[str] = None,
+                      pretrained_backbone: Optional[str] = "auto",
                       max_val_samples: int = 512,
-                      bf16: bool = False) -> TrainResources:
+                      bf16: bool = False,
+                      gamma: float = 1.0) -> TrainResources:
     """Assemble TrainResources from a real BOP tree (train_v2.py:40-223).
 
-    pretrained_backbone: optional path to a torchvision resnet34 .pth —
-    converted and merged into the fresh init like the reference does.
+    pretrained_backbone: path to a torchvision resnet34 .pth, "auto"
+    (default: search known locations and FAIL if absent — the reference
+    always trains from ImageNet weights), or None to train from scratch.
+    gamma: StepLR decay per 10 validation cadences (1.0 = train_v2/v5
+    recipe, 0.7 = train_v3 recipe).
     """
     from zebrapose_tpu.data import bop_io
     from zebrapose_tpu.data.dataset_info import get_obj_info, is_symmetric
     from zebrapose_tpu.codec.lut import load_correspondence_lut
+
+    _warn_ignored_config(cfg)
+    pretrained_backbone = _resolve_pretrained(pretrained_backbone)
 
     names, _ = get_obj_info(cfg.dataset_name)
     obj_id = names[obj_name]
@@ -255,7 +374,7 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
     local_batch = cfg.batch_size // n_proc if n_proc > 1 else \
         cfg.batch_size
     state = create_train_state(model, variables, learning_rate=lr,
-                               n_bits=cfg.number_of_itration)
+                               n_bits=cfg.number_of_itration, gamma=gamma)
 
     ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
     if cfg.load_checkpoint:
