@@ -1,16 +1,23 @@
-"""Headline benchmark: crops/sec/chip for the full on-device pipeline
-256x256 crop -> ZebraPoseNet v2 forward (bf16) -> binarize -> surface-code
-decode -> batched EPnP+RANSAC pose, i.e. the reference's test.py hot loop
-(net forward + CNN_outputs_to_object_pose) as ONE compiled XLA program.
+"""Headline benchmark: crops/sec/chip for the FULL on-device pipeline
+480x640 raw frame -> ROI crop+resize+normalize (preprocess) -> ZebraPoseNet
+v2 forward (bf16, 256^2) -> binarize -> surface-code decode -> batched
+EPnP+RANSAC pose — i.e. everything the reference does per detection
+(bop_dataset get_roi + test.py net forward + CNN_outputs_to_object_pose)
+as ONE compiled XLA program. A model-only program (pre-cropped input,
+matching the round-1 bench) is timed alongside for continuity.
+
+The decode stage runs on a realistic COMPACT object mask (~20% fg
+ellipse), not random logits: shapes are fixed either way, but the
+reported workload composition should match a trained model's output.
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "crops/sec/chip", "vs_baseline": N}
+  {"metric", "value", "unit", "vs_baseline", ...extras}
 
 vs_baseline: the reference records no throughput number anywhere
-(BASELINE.md); we anchor against a generous estimate of 20 crops/sec for
-the reference GPU path (batch-1 torch forward + per-pixel Python decode +
-CPU Progressive-X/EPnP RANSAC — the decode alone is a Python loop over
-~10k pixels). The >5x target therefore means value >= 100.
+(BASELINE.md) and cannot run here — the denominator is an ESTIMATE
+(20 crops/sec for its GPU path: batch-1 torch forward + per-pixel Python
+decode + CPU Progressive-X RANSAC). Treat "value" (absolute crops/s) as
+the real result; vs_baseline is labeled estimated via baseline_note.
 """
 
 import json
@@ -18,7 +25,35 @@ import time
 
 import numpy as np
 
-REFERENCE_CROPS_PER_SEC_ESTIMATE = 20.0
+REFERENCE_CROPS_PER_SEC_ESTIMATE = 20.0  # estimated, NOT measured
+IMG_H, IMG_W = 480, 640
+
+
+def _compact_mask(batch: int, size: int = 128) -> np.ndarray:
+    """Elliptical ~20% fg masks like a trained model's output (the
+    round-1 bench used random logits = ~50% fg, a different RANSAC
+    quality mix)."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    masks = np.zeros((batch, size, size), np.float32)
+    rng = np.random.default_rng(3)
+    for i in range(batch):
+        cy, cx = rng.uniform(0.4, 0.6, 2) * size
+        ry, rx = rng.uniform(0.25, 0.35, 2) * size
+        masks[i] = (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2
+                    <= 1.0).astype(np.float32)
+    return masks
+
+
+def _time_program(fn, args, iters=10):
+    """First call compiles+warms; then time. Fetching the scalar output
+    forces full execution (block_until_ready is a no-op on axon)."""
+    float(fn(*args)[-1])
+    t0 = time.perf_counter()
+    out = None
+    for i in range(iters):
+        out = fn(*args)
+    float(out[-1])
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -34,11 +69,11 @@ def main():
     except Exception:
         pass
 
+    from zebrapose_tpu.data.pipeline import preprocess_batch
     from zebrapose_tpu.models.zebra_net import ZebraPoseNet
-    from zebrapose_tpu.ops.binarize import code_from_logits, mask_from_logits
+    from zebrapose_tpu.ops.binarize import code_from_logits
     from zebrapose_tpu.ops.pnp import PnPConfig, decode_to_pose
 
-    batch = 32
     n_bits = 16
     rng = np.random.default_rng(0)
 
@@ -54,48 +89,72 @@ def main():
     K = jnp.asarray(np.array([[572.4114, 0, 325.2611],
                               [0, 573.57043, 242.04899],
                               [0, 0, 1]], np.float32))
-    bboxes = jnp.asarray(
-        np.tile(np.array([[200, 150, 128, 128]], np.int32), (batch, 1)))
-    cfg = PnPConfig(n_hypotheses=128, max_points=2048)
+    pnp_cfg = PnPConfig(n_hypotheses=128, max_points=2048)
 
-    def pipeline(variables, images, bboxes, key):
-        out = model.apply(variables, images, train=False)
-        masks = mask_from_logits(out["mask"][..., 0].astype(jnp.float32))
+    def decode(out, masks, bboxes, key):
         codes = code_from_logits(out["code"].astype(jnp.float32))
-        keys = jax.random.split(key, images.shape[0])
+        keys = jax.random.split(key, masks.shape[0])
 
         def one(mask, code, bbox, k):
-            return decode_to_pose(mask, code, lut_points, lut_valid, bbox,
-                                  K, k, bbox_size=128, cfg=cfg)
+            return decode_to_pose(mask, code, lut_points, lut_valid,
+                                  bbox, K, k, bbox_size=128, cfg=pnp_cfg)
 
-        Rs, ts, ok, n_in = jax.vmap(one)(masks, codes, bboxes, keys)
+        Rs, ts, ok, _ = jax.vmap(one)(masks, codes, bboxes, keys)
         # scalar reduction: fetching it forces full execution even on
         # platforms where block_until_ready is a no-op (axon tunnel)
         return Rs, ts, ok, jnp.sum(ts) + jnp.sum(ok)
 
-    pipeline_jit = jax.jit(pipeline)
-    images = jnp.asarray(
-        rng.normal(size=(batch, 256, 256, 3)).astype(np.float32))
-    key = jax.random.PRNGKey(1)
+    @jax.jit
+    def model_only(variables, images, masks, bboxes, key):
+        out = model.apply(variables, images, train=False)
+        return decode(out, masks, bboxes, key)
 
-    # warmup/compile (fetch a scalar -> full sync)
-    float(pipeline_jit(variables, images, bboxes, key)[3])
+    @jax.jit
+    def full_pipeline(variables, raw, masks, bboxes, key):
+        batch = preprocess_batch(raw, key, crop_img=256, crop_gt=128,
+                                 is_train=False, include_gt=False)
+        out = model.apply(variables, batch["image"], train=False)
+        return decode(out, masks, bboxes, key)
 
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = pipeline_jit(variables, images, bboxes,
-                           jax.random.fold_in(key, i))
-    float(out[3])  # sync: in-order execution drains the queue
-    dt = time.perf_counter() - t0
+    results = {}
+    for b in (32, 64, 128):
+        masks = jnp.asarray(_compact_mask(b))
+        bboxes = jnp.asarray(np.tile(
+            np.array([[200, 150, 128, 128]], np.int32), (b, 1)))
+        key = jax.random.PRNGKey(1)
 
-    crops_per_sec = batch * iters / dt
+        images = jnp.asarray(
+            rng.normal(size=(b, 256, 256, 3)).astype(np.float32))
+        dt_model = _time_program(
+            model_only, (variables, images, masks, bboxes, key))
+
+        raw = {
+            "rgb": jnp.asarray(rng.integers(
+                0, 255, size=(b, IMG_H, IMG_W, 3)).astype(np.uint8)),
+            "roi_param": jnp.asarray(np.tile(np.array(
+                [[180, 120, 436, 376, 256]], np.int32), (b, 1))),
+            "valid": jnp.ones((b,), jnp.float32),
+        }
+        dt_full = _time_program(
+            full_pipeline, (variables, raw, masks, bboxes, key))
+
+        results[b] = {"model_only": b / dt_model, "full": b / dt_full}
+
+    best_b = max(results, key=lambda b: results[b]["full"])
+    crops_per_sec = results[best_b]["full"]
     print(json.dumps({
-        "metric": "crops/sec/chip (256^2 enc-dec + decode + EPnP-RANSAC)",
+        "metric": ("crops/sec/chip (480x640 preprocess + 256^2 enc-dec "
+                   "+ decode + EPnP-RANSAC, compact masks)"),
         "value": round(crops_per_sec, 2),
         "unit": "crops/sec/chip",
         "vs_baseline": round(crops_per_sec /
                              REFERENCE_CROPS_PER_SEC_ESTIMATE, 2),
+        "baseline_note": ("reference throughput is ESTIMATED at 20 "
+                          "crops/s (not measured; it pins no number and "
+                          "cannot run here)"),
+        "batch": best_b,
+        "per_batch": {str(b): {k: round(v, 1) for k, v in r.items()}
+                      for b, r in results.items()},
     }))
 
 

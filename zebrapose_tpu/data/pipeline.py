@@ -67,14 +67,16 @@ def _roi(imgs, param, crop, method, interpolation):
 
 @partial(jax.jit, static_argnames=("crop_img", "crop_gt", "base", "n_bits",
                                    "is_train", "resize_method",
-                                   "use_pepper_salt", "use_motion_blur"))
+                                   "use_pepper_salt", "use_motion_blur",
+                                   "include_gt"))
 def preprocess_batch(raw: Dict[str, jnp.ndarray], key: jax.Array,
                      crop_img: int = 256, crop_gt: int = 128,
                      base: int = 2, n_bits: int = 16,
                      is_train: bool = True,
                      resize_method: str = "crop_square_resize",
                      use_pepper_salt: bool = False,
-                     use_motion_blur: bool = False
+                     use_motion_blur: bool = False,
+                     include_gt: bool = True
                      ) -> Dict[str, jnp.ndarray]:
     """raw: {"rgb" [N,H,W,3]u8 BGR, "label" [N,H,W,3]u8,
     "mask" [N,H,W]u8, "entire_mask" [N,H,W]u8, "roi_param"
@@ -82,6 +84,9 @@ def preprocess_batch(raw: Dict[str, jnp.ndarray], key: jax.Array,
     "valid" [N]f32 (0 for dummy/no-detection samples)}.
 
     Returns the model batch {"image", "mask", "entire_mask", "code"}.
+    include_gt=False skips the label/mask crops entirely (test-time
+    inference needs only "image"; the label-id decode + three nearest
+    crops are pure waste there).
     """
     rgb = raw["rgb"].astype(jnp.float32)
     p = raw["roi_param"]
@@ -90,6 +95,10 @@ def preprocess_batch(raw: Dict[str, jnp.ndarray], key: jax.Array,
         roi_rgb = augment_batch(roi_rgb, key, use_pepper_salt,
                                 use_motion_blur)
     image = normalize_image(roi_rgb / 255.0)
+
+    valid = raw["valid"][:, None, None]
+    if not include_gt:
+        return {"image": image * valid[..., None]}
 
     label = raw["label"].astype(jnp.float32)
     roi_label = _roi(label, p, crop_gt, resize_method, "nearest")
@@ -104,7 +113,6 @@ def preprocess_batch(raw: Dict[str, jnp.ndarray], key: jax.Array,
     mask = _mask_roi(raw["mask"])
     entire = _mask_roi(raw["entire_mask"])
 
-    valid = raw["valid"][:, None, None]
     return {
         "image": image * valid[..., None],
         "mask": mask * valid,

@@ -65,7 +65,8 @@ def make_eval_step(forward_fn, lut: CorrespondenceLUT,
                    pnp_cfg: PnPConfig, ignore_bits: int = 0,
                    return_masks: bool = False,
                    return_codes: bool = False,
-                   mask_from_dataset: bool = False):
+                   mask_from_dataset: bool = False,
+                   preprocess_gt: bool = True):
     """Build the jitted batch program: raw images -> (R, t, success).
 
     forward_fn(batch, variables) -> {"mask", "code", ...} logits; for the
@@ -81,9 +82,14 @@ def make_eval_step(forward_fn, lut: CorrespondenceLUT,
 
     @jax.jit
     def step(raw, final_bbox, K, key, variables):
+        # GT label/mask crops are only materialized when consumed: the
+        # mask-rcnn path reads batch["mask"]/["entire_mask"], and oracle
+        # forwards in tests read batch["code"]; real-model inference
+        # (preprocess_gt=False from the runners) crops the rgb alone.
         batch = preprocess_batch(
             raw, key, crop_img=crop_img, crop_gt=crop_gt, base=base,
-            n_bits=n_bits, is_train=False, resize_method=resize_method)
+            n_bits=n_bits, is_train=False, resize_method=resize_method,
+            include_gt=preprocess_gt or mask_from_dataset)
         out = forward_fn(batch, variables)
         if mask_from_dataset:
             # Mask-RCNN variant: the detector's RLE mask (threaded through

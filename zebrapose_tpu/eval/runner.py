@@ -197,7 +197,8 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
         n_bits=cfg.number_of_itration, resize_method=cfg.resize_method,
         loss_type=cfg.BinaryCode_Loss_Type, pnp_cfg=pnp_cfg,
         ignore_bits=ignore_bit, return_masks=cfg.refine or debug,
-        return_codes=debug, mask_from_dataset=mask_rcnn)
+        return_codes=debug, mask_from_dataset=mask_rcnn,
+        preprocess_gt=False)
 
     symmetric = is_symmetric(cfg.dataset_name, obj_name)
 

@@ -63,7 +63,7 @@ def run_vivo(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
         n_bits=cfg.number_of_itration, resize_method=cfg.resize_method,
         loss_type=cfg.BinaryCode_Loss_Type,
         pnp_cfg=pnp_cfg or PnPConfig(),
-        mask_from_dataset=mask_rcnn)
+        mask_from_dataset=mask_rcnn, preprocess_gt=False)
 
     Rs, ts, ok = evaluate_vivo(dataset, scores, eval_step, obj_id,
                                cfg.dataset_name, obj_name,
