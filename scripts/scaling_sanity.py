@@ -1,0 +1,149 @@
+"""Multi-chip scaling sanity on the virtual CPU mesh.
+
+The host has ONE core, so wall-clock cannot improve with virtual devices;
+what this measures is that the GSPMD program actually PARTITIONS the work
+instead of replicating it: at fixed global batch, the 8-device step must
+cost about the same total compute as the 1-device step (ratio ~1). A
+ratio near 8 would mean every device runs the full batch (sharding bug).
+
+Also reports MixedBatchIterator throughput (host input-pipeline headroom
+vs the measured 105 ms/step bf16 b32 device budget from CLAUDE.md).
+
+Run:  python scripts/scaling_sanity.py
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp  # noqa: E402
+
+from zebrapose_tpu.models.losses import CodeLossConfig  # noqa: E402
+from zebrapose_tpu.models.zebra_net import ZebraPoseNet  # noqa: E402
+from zebrapose_tpu.parallel.mesh import (  # noqa: E402
+    make_mesh, replicate, shard_batch)
+from zebrapose_tpu.train.state import create_train_state  # noqa: E402
+from zebrapose_tpu.train.train_step import train_step  # noqa: E402
+
+GLOBAL_BATCH = 8
+SIZE = 64  # crop size; small enough for the 1-core host
+
+
+def step_time(n_devices: int, iters: int = 5) -> float:
+    mesh = make_mesh(jax.devices()[:n_devices])
+    model = ZebraPoseNet(binary_code_length=16, variant="v2", concat=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, SIZE, SIZE, 3), jnp.float32),
+                           train=False)
+    state = create_train_state(model, dict(variables), 2e-4)
+    state = state.replace(**{
+        f: replicate(mesh, getattr(state, f))
+        for f in ("step", "params", "batch_stats", "opt_state",
+                  "histogram", "best_score")})
+    rng = np.random.default_rng(0)
+    g = SIZE // 2
+    batch = shard_batch(mesh, {
+        "image": rng.normal(size=(GLOBAL_BATCH, SIZE, SIZE, 3)).astype(
+            np.float32),
+        "mask": (rng.random((GLOBAL_BATCH, g, g)) > 0.5).astype(
+            np.float32),
+        "entire_mask": (rng.random((GLOBAL_BATCH, g, g)) > 0.3).astype(
+            np.float32),
+        "code": (rng.random((GLOBAL_BATCH, g, g, 16)) > 0.5).astype(
+            np.float32),
+    })
+    cfg = CodeLossConfig()
+    state, m = train_step(state, batch, cfg)  # compile
+    jax.block_until_ready(m["loss_total"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = train_step(state, batch, cfg)
+    jax.block_until_ready(m["loss_total"])
+    return (time.perf_counter() - t0) / iters
+
+
+def iterator_throughput(tmp_dir: str, batch: int = 32,
+                        n_imgs: int = 24, n_batches: int = 10) -> float:
+    """Host collate throughput on full-resolution (480x640) samples."""
+    import json
+
+    import cv2
+
+    from zebrapose_tpu.data.pipeline import (CropDatasetHost,
+                                             MixedBatchIterator)
+
+    rng = np.random.default_rng(1)
+    scene = os.path.join(tmp_dir, "lmo", "train", "000001")
+    os.makedirs(os.path.join(scene, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(scene, "mask"), exist_ok=True)
+    os.makedirs(os.path.join(scene, "mask_visib"), exist_ok=True)
+    gt_dir = os.path.join(tmp_dir, "lmo", "train_GT_v2", "000001")
+    os.makedirs(gt_dir, exist_ok=True)
+    rgb_files, maskf, maskvf, gts, gtis, cams = [], [], [], [], [], []
+    K = [400.0, 0, 320.0, 0, 400.0, 240.0, 0, 0, 1.0]
+    for im in range(n_imgs):
+        fn = os.path.join(scene, "rgb", f"{im:06d}.png")
+        cv2.imwrite(fn, rng.integers(0, 255, (480, 640, 3),
+                                     dtype=np.uint8))
+        m = np.zeros((480, 640), np.uint8)
+        m[150:300, 200:380] = 255
+        mf = os.path.join(scene, "mask", f"{im:06d}_000000.png")
+        mvf = os.path.join(scene, "mask_visib", f"{im:06d}_000000.png")
+        cv2.imwrite(mf, m)
+        cv2.imwrite(mvf, m)
+        cv2.imwrite(os.path.join(gt_dir, f"{im:06d}_000000.png"),
+                    rng.integers(0, 255, (480, 640, 3), dtype=np.uint8))
+        rgb_files.append(fn)
+        maskf.append([mf])
+        maskvf.append([mvf])
+        gts.append({"cam_R_m2c": np.eye(3), "cam_t_m2c": np.zeros(3),
+                    "obj_id": 1})
+        gtis.append({"bbox_visib": [200, 150, 180, 150],
+                     "visib_fract": 0.9})
+        cams.append({"cam_K": np.array(K).reshape(3, 3)})
+    ds = CropDatasetHost(os.path.join(tmp_dir, "lmo"), "train",
+                         rgb_files, maskf, maskvf, gts, gtis, cams,
+                         is_train=True)
+    it = MixedBatchIterator(ds, None, batch_size=batch, num_workers=8)
+    next(it)  # warm the page cache / pool
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        next(it)
+    dt = (time.perf_counter() - t0) / n_batches
+    it.close()
+    return dt
+
+
+def main():
+    t1 = step_time(1)
+    t8 = step_time(8)
+    print(f"train_step global_batch={GLOBAL_BATCH} size={SIZE}: "
+          f"1-device {t1 * 1e3:.1f} ms, 8-device {t8 * 1e3:.1f} ms, "
+          f"ratio {t8 / t1:.2f} (1-core host: ~1 = partitioned, "
+          f"~8 = replicated/bug)")
+    assert t8 / t1 < 3.0, "sharded step looks replicated, not partitioned"
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        dt = iterator_throughput(td)
+    print(f"MixedBatchIterator b32 480x640 collate: {dt * 1e3:.0f} "
+          f"ms/batch on this 1-core host "
+          f"(device budget: ~105 ms/step bf16 b32 256^2)")
+
+
+if __name__ == "__main__":
+    main()

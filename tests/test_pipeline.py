@@ -160,3 +160,27 @@ def test_mixed_iterator_ratio(tmp_path):
     it1 = MixedBatchIterator(ds1, None, batch_size=4)
     assert next(it1)["rgb"].shape[0] == 4
     it1.close()
+
+
+def test_cache_images_identical_and_survives_file_removal(tmp_path):
+    """cache_images=True: collate output identical to uncached; after the
+    first read the files can disappear (proves decode is served from RAM,
+    the 1-core-host input-pipeline fix)."""
+    import os
+
+    ds_plain = _mk_ds(tmp_path, is_train=False)
+    raw_plain = ds_plain.collate([0, 1, 2])
+
+    ds_cached = CropDatasetHost(
+        ds_plain.dataset_dir, "test", ds_plain.rgb_files,
+        ds_plain.mask_files, ds_plain.mask_visib_files, ds_plain.gts,
+        ds_plain.gt_infos, ds_plain.cam_params, is_train=False,
+        crop_size_img=64, crop_size_gt=32, cache_images=True)
+    raw_c1 = ds_cached.collate([0, 1, 2])
+    for k in raw_plain:
+        np.testing.assert_array_equal(raw_plain[k], raw_c1[k])
+
+    for fn in ds_cached.rgb_files:
+        os.remove(fn)
+    raw_c2 = ds_cached.collate([0, 1, 2])
+    np.testing.assert_array_equal(raw_c1["rgb"], raw_c2["rgb"])

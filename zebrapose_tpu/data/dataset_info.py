@@ -51,6 +51,17 @@ def get_obj_info(dataset_name: str
     return _REGISTRY[dataset_name]
 
 
+def lookup_obj_id(dataset_name: str, obj_name: str) -> int:
+    """obj_name -> obj_id with a helpful error naming the valid objects
+    (a bare KeyError was the round-2 CLI failure mode)."""
+    names, _ = get_obj_info(dataset_name)
+    if obj_name not in names:
+        raise ValueError(
+            f"unknown object {obj_name!r} for dataset "
+            f"{dataset_name!r}; valid: {', '.join(sorted(names))}")
+    return names[obj_name]
+
+
 def get_sym_obj_ids(dataset_name: str) -> List[int]:
     names, syms = get_obj_info(dataset_name)
     return sorted(names[n] for n in syms)

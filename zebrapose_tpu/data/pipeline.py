@@ -148,7 +148,8 @@ class CropDatasetHost:
                  gt_dir_suffix: str = "_GT_v2",
                  detect_bboxes: Optional[Sequence] = None,
                  detect_segmentations: Optional[Sequence] = None,
-                 seed: int = 0):
+                 seed: int = 0,
+                 cache_images: bool = False):
         self.dataset_dir = dataset_dir
         self.data_folder = data_folder
         self.rgb_files = list(rgb_files)
@@ -167,9 +168,29 @@ class CropDatasetHost:
         self.detect_segmentations = detect_segmentations
         self.rng = np.random.default_rng(seed)
         self._rng_lock = threading.Lock()
+        # Opt-in decoded-image RAM cache: PNG decode dominates host
+        # collate (329 ms/b32 at 480x640 on a 1-core host, vs a 105 ms
+        # device step). Only enable when the split fits in RAM — ~2.4 MB
+        # per 480x640 sample (rgb + label + 2 masks).
+        self._cache: Optional[dict] = {} if cache_images else None
+        self._cache_lock = threading.Lock()
 
     def __len__(self):
         return len(self.rgb_files)
+
+    def _imread(self, path: str, flags: int = cv2.IMREAD_COLOR):
+        if self._cache is None:
+            return cv2.imread(path, flags)
+        key = (path, flags)
+        with self._cache_lock:
+            hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        img = cv2.imread(path, flags)
+        if img is not None:
+            with self._cache_lock:
+                self._cache[key] = img
+        return img
 
     def _gt_label_path(self, idx: int) -> str:
         rgb_fn = self.rgb_files[idx]
@@ -196,7 +217,7 @@ class CropDatasetHost:
         return param, fb.astype(np.int64)
 
     def get_raw(self, idx: int) -> Dict[str, np.ndarray]:
-        rgb = cv2.imread(self.rgb_files[idx])
+        rgb = self._imread(self.rgb_files[idx])
         if rgb is None:
             raise FileNotFoundError(self.rgb_files[idx])
         if rgb.ndim == 2:  # itodd gray
@@ -204,8 +225,8 @@ class CropDatasetHost:
         h, w = rgb.shape[:2]
 
         def _read_mask(path):
-            m = cv2.imread(path, 0) if path and os.path.exists(path) \
-                else None
+            m = self._imread(path, cv2.IMREAD_GRAYSCALE) \
+                if path and os.path.exists(path) else None
             return m if m is not None else np.zeros((h, w), np.uint8)
 
         mask = _read_mask(self.mask_visib_files[idx][0])
@@ -217,7 +238,10 @@ class CropDatasetHost:
             mask = decode_rle(self.detect_segmentations[idx]) * 255
         entire = _read_mask(self.mask_files[idx][0])
         gt_path = self._gt_label_path(idx)
-        label = cv2.imread(gt_path)
+        # exists-check first: GT-less entries (vivo/challenge) have empty
+        # mask names -> a directory path here; cv2 warns loudly on those
+        label = self._imread(gt_path) \
+            if gt_path and os.path.isfile(gt_path) else None
         if label is None:
             label = np.zeros((h, w, 3), np.uint8)
 

@@ -17,7 +17,7 @@ import numpy as np
 from zebrapose_tpu.codec.lut import load_correspondence_lut
 from zebrapose_tpu.config import ZebraConfig
 from zebrapose_tpu.data import bop_io, detections as det_mod
-from zebrapose_tpu.data.dataset_info import get_obj_info, is_symmetric
+from zebrapose_tpu.data.dataset_info import is_symmetric, lookup_obj_id
 from zebrapose_tpu.data.pipeline import CropDatasetHost
 from zebrapose_tpu.eval.evaluate import (
     evaluate_object,
@@ -127,8 +127,7 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
 
     mask_rcnn: use the detector's RLE segmentation in place of the
     network's mask head (reference test_for_mask_rcnn.py)."""
-    names, _ = get_obj_info(cfg.dataset_name)
-    obj_id = names[obj_name]
+    obj_id = lookup_obj_id(cfg.dataset_name, obj_name)
 
     if cfg.bop_challange:
         samples = bop_io.get_bop_challenge_test_data(

@@ -10,7 +10,7 @@ import numpy as np
 from zebrapose_tpu.codec.lut import load_correspondence_lut
 from zebrapose_tpu.config import ZebraConfig
 from zebrapose_tpu.data import bop_io, detections as det_mod
-from zebrapose_tpu.data.dataset_info import get_obj_info
+from zebrapose_tpu.data.dataset_info import lookup_obj_id
 from zebrapose_tpu.eval.evaluate import make_eval_step
 from zebrapose_tpu.eval.runner import load_model_variables
 from zebrapose_tpu.eval.vivo import build_vivo_dataset, evaluate_vivo
@@ -23,8 +23,7 @@ def run_vivo(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
              score_threshold: float = 0.2, batch_size: int = 16,
              pnp_cfg: Optional[PnPConfig] = None,
              mask_rcnn: bool = False) -> Dict[str, float]:
-    names, _ = get_obj_info(cfg.dataset_name)
-    obj_id = names[obj_name]
+    obj_id = lookup_obj_id(cfg.dataset_name, obj_name)
 
     # Vivo iterates IMAGES (not GT instances): build the image list from
     # scene_camera.json + detections alone so GT-less challenge splits

@@ -9,7 +9,7 @@ import numpy as np
 
 from zebrapose_tpu.config import ZebraConfig
 from zebrapose_tpu.data import bop_io
-from zebrapose_tpu.data.dataset_info import get_obj_info
+from zebrapose_tpu.data.dataset_info import lookup_obj_id
 from zebrapose_tpu.tools.generate_gt import (
     generate_labels_for_split,
     generate_mesh_surface_code,
@@ -21,8 +21,7 @@ def generate_labels_cli(cfg: ZebraConfig, obj_name: str,
                         data_folder: str, force: bool = False) -> int:
     """Ensure the surface code exists for the object's mesh, then render
     GT_v2 labels for every instance in the split."""
-    names, _ = get_obj_info(cfg.dataset_name)
-    obj_id = names[obj_name]
+    obj_id = lookup_obj_id(cfg.dataset_name, obj_name)
     dataset_dir = os.path.join(cfg.bop_path, cfg.dataset_name)
 
     corres = os.path.join(dataset_dir, "models_GT_color",

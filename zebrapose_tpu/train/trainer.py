@@ -277,7 +277,8 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
                       pretrained_backbone: Optional[str] = "auto",
                       max_val_samples: int = 512,
                       bf16: bool = False,
-                      gamma: float = 1.0) -> TrainResources:
+                      gamma: float = 1.0,
+                      cache_images: bool = False) -> TrainResources:
     """Assemble TrainResources from a real BOP tree (train_v2.py:40-223).
 
     pretrained_backbone: path to a torchvision resnet34 .pth, "auto"
@@ -287,14 +288,13 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
     recipe, 0.7 = train_v3 recipe).
     """
     from zebrapose_tpu.data import bop_io
-    from zebrapose_tpu.data.dataset_info import get_obj_info, is_symmetric
+    from zebrapose_tpu.data.dataset_info import is_symmetric, lookup_obj_id
     from zebrapose_tpu.codec.lut import load_correspondence_lut
 
     _warn_ignored_config(cfg)
     pretrained_backbone = _resolve_pretrained(pretrained_backbone)
 
-    names, _ = get_obj_info(cfg.dataset_name)
-    obj_id = names[obj_name]
+    obj_id = lookup_obj_id(cfg.dataset_name, obj_name)
 
     train1 = bop_io.get_dataset(
         cfg.bop_path, cfg.dataset_name, train=True,
@@ -306,7 +306,8 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
         crop_size_img=cfg.BoundingBox_CropSize_image,
         crop_size_gt=cfg.BoundingBox_CropSize_GT,
         padding_ratio=cfg.padding_ratio,
-        resize_method=cfg.resize_method, gt_dir_suffix=gt_dir_suffix)
+        resize_method=cfg.resize_method, gt_dir_suffix=gt_dir_suffix,
+        cache_images=cache_images)
 
     ds2 = None
     if cfg.training_data_folder_2 not in ("none", "", None):
@@ -320,7 +321,8 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
             crop_size_img=cfg.BoundingBox_CropSize_image,
             crop_size_gt=cfg.BoundingBox_CropSize_GT,
             padding_ratio=cfg.padding_ratio,
-            resize_method=cfg.resize_method, gt_dir_suffix=gt_dir_suffix)
+            resize_method=cfg.resize_method, gt_dir_suffix=gt_dir_suffix,
+            cache_images=cache_images)
 
     val = bop_io.get_dataset(cfg.bop_path, cfg.dataset_name, train=False,
                              data_folder=cfg.val_folder)
