@@ -200,7 +200,12 @@ def main():
     res = build_train_setup(cfg, "ape", args.out,
                             pretrained_backbone=None,  # no .pth in env
                             bf16=True,
-                            cache_images=True)  # 200 imgs ~ 0.5 GB RAM
+                            cache_images=True,   # val collate from RAM
+                            device_cache=True)   # train pixels in HBM:
+    # indices-only input removes the 75 MB/step H2D stream — the axon
+    # tunnel moves ~40 MB/s and leaks every device_put staging buffer,
+    # so streaming full frames is both 10x slower than the chip and an
+    # OOM within ~1.5k steps.
     import dataclasses
     res = dataclasses.replace(
         res, pnp_cfg=PnPConfig(n_hypotheses=64, max_points=2048))

@@ -94,5 +94,17 @@ def test_cli_help_lists_subcommands(capsys):
         main(["--help"])
     out = capsys.readouterr().out
     for cmd in ("train", "test", "vivo", "generate-mesh-code",
-                "generate-labels", "merge-csv"):
+                "generate-labels", "merge-csv", "model-cost"):
         assert cmd in out
+
+
+def test_model_cost_cli(capsys):
+    # crop 64 reuses the shape test_model_parity already compiles
+    rc = main(["model-cost", "--crop", "64"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # v2/34/concat has ~31M params (ref thop: ~31.4M); FLOPs scale with
+    # crop so only sanity-check positivity (NaN when cost analysis is
+    # unavailable on a backend)
+    assert 25 < res["params_M"] < 40
+    assert res["flops_G"] > 0.1 or res["flops_G"] != res["flops_G"]

@@ -184,3 +184,54 @@ def test_cache_images_identical_and_survives_file_removal(tmp_path):
         os.remove(fn)
     raw_c2 = ds_cached.collate([0, 1, 2])
     np.testing.assert_array_equal(raw_c1["rgb"], raw_c2["rgb"])
+
+
+def test_device_cache_matches_streaming(tmp_path):
+    """gather_preprocess_batch over a DeviceDatasetCache must produce
+    exactly the batch preprocess_batch produces from host collate, given
+    the same draws/params."""
+    from zebrapose_tpu.data.pipeline import (CachedBatchIterator,
+                                             DeviceDatasetCache,
+                                             gather_preprocess_batch)
+
+    ds = _mk_ds(tmp_path, is_train=True)
+    cache = DeviceDatasetCache([ds])
+    assert len(cache) == len(ds)
+    it = CachedBatchIterator(cache, batch_size=4, seed=3)
+    raw = next(it)
+    assert raw["idx"].shape == (4,) and raw["roi_param"].shape[0] == 4
+
+    key = jax.random.PRNGKey(7)
+    cached = gather_preprocess_batch(
+        cache.arrays, raw["idx"], raw["roi_param"], raw["valid"], key,
+        crop_img=64, crop_gt=32)
+
+    # streaming reference with the SAME pixels and params
+    px = [ds.get_pixels(int(i)) for i in raw["idx"]]
+    feed = {k: np.stack([p[k] for p in px])
+            for k in ("rgb", "label", "mask", "entire_mask")}
+    feed["roi_param"] = raw["roi_param"]
+    feed["valid"] = raw["valid"]
+    streamed = preprocess_batch(feed, key, crop_img=64, crop_gt=32,
+                                is_train=True)
+    for k in ("image", "mask", "entire_mask", "code"):
+        np.testing.assert_array_equal(np.asarray(cached[k]),
+                                      np.asarray(streamed[k]), err_msg=k)
+
+
+def test_cached_iterator_mixed_ratio(tmp_path):
+    from zebrapose_tpu.data.pipeline import (CachedBatchIterator,
+                                             DeviceDatasetCache)
+
+    ds1 = _mk_ds(tmp_path, is_train=True)
+    ds2 = CropDatasetHost(ds1.dataset_dir, "test", ds1.rgb_files,
+                          ds1.mask_files, ds1.mask_visib_files, ds1.gts,
+                          ds1.gt_infos, ds1.cam_params, is_train=True,
+                          crop_size_img=64, crop_size_gt=32)
+    cache = DeviceDatasetCache([ds1, ds2])
+    it = CachedBatchIterator(cache, batch_size=8,
+                             second_dataset_ratio=0.75, seed=0)
+    raw = next(it)
+    n1 = len(ds1)
+    assert (raw["idx"][:2] < n1).all()      # 8 - 6 from ds1
+    assert (raw["idx"][2:] >= n1).all()     # 6 from ds2

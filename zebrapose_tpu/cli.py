@@ -107,12 +107,38 @@ def main(argv=None):
     p_merge.add_argument("csvs", nargs="+")
     p_merge.add_argument("--out", required=True)
 
+    p_cost = sub.add_parser(
+        "model-cost",
+        help="FLOPs/params via XLA cost analysis (the reference's thop "
+             "harness, model/BinaryCodeNet.py:199-205)")
+    p_cost.add_argument("--variant", default="v2",
+                        choices=["v1", "v2", "v3"])
+    p_cost.add_argument("--resnet_layers", type=int, default=34,
+                        choices=[34, 50])
+    p_cost.add_argument("--code_length", type=int, default=16)
+    p_cost.add_argument("--crop", type=int, default=256)
+    p_cost.add_argument("--no_concat", action="store_true")
+
     args = parser.parse_args(argv)
 
     if args.command == "merge-csv":
         from zebrapose_tpu.data.bop_writer import merge_csv
         merge_csv(args.csvs, args.out)
         print(f"merged {len(args.csvs)} files -> {args.out}")
+        return 0
+
+    if args.command == "model-cost":
+        import jax.numpy as jnp
+        from zebrapose_tpu.models.zebra_net import ZebraPoseNet
+        from zebrapose_tpu.utils.profiling import model_cost
+        model = ZebraPoseNet(binary_code_length=args.code_length,
+                             variant=args.variant,
+                             resnet_layers=args.resnet_layers,
+                             concat=not args.no_concat)
+        cost = model_cost(
+            model, jnp.zeros((1, args.crop, args.crop, 3), jnp.float32))
+        print(json.dumps({"params_M": round(cost["params"] / 1e6, 3),
+                          "flops_G": round(cost["flops"] / 1e9, 3)}))
         return 0
 
     if args.command == "generate-mesh-code":

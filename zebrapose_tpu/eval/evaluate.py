@@ -156,21 +156,40 @@ def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
     ent_masks: List[np.ndarray] = []
     code_list: List[np.ndarray] = []
     key = jax.random.PRNGKey(seed)
-    for start in range(0, n, batch_size):
-        idx = list(range(start, min(start + batch_size, n)))
-        raw = dataset.collate(idx)
-        raw = _pad_to(raw, batch_size)
-        feed = {k: raw[k] for k in ("rgb", "label", "mask", "entire_mask",
-                                    "roi_param", "valid")}
-        out = eval_step(
-            feed, jnp.asarray(raw["final_bbox"].astype(np.int32)),
-            jnp.asarray(raw["K"]), jax.random.fold_in(key, start),
-            {} if variables is None else variables)
-        R_b, t_b, ok_b = out[0], out[1], out[2]
-        m = len(idx)
-        Rs[start:start + m] = np.asarray(R_b)[:m]
-        ts[start:start + m] = np.asarray(t_b)[:m]
-        ok[start:start + m] = np.asarray(ok_b)[:m]
+
+    # Pin the weights on device ONCE: converted .pth checkpoints arrive
+    # as host numpy trees, and jit re-transfers numpy arguments on every
+    # call (~124 MB/batch for the v2 net — ruinous through the tunnel).
+    if variables is not None:
+        variables = jax.tree.map(jnp.asarray, variables)
+
+    # Host collate (imread + bbox math) runs in a producer thread with a
+    # bounded queue, and output fetch is deferred by one batch: while the
+    # device executes batch k, the host decodes batch k+1 and drains
+    # batch k-1 — collate, compute, and D2H copies pipeline instead of
+    # serializing (the 1-core host otherwise leaves the chip idle).
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+
+    def producer():
+        try:
+            for start in range(0, n, batch_size):
+                idx = list(range(start, min(start + batch_size, n)))
+                raw = _pad_to(dataset.collate(idx), batch_size)
+                q.put((start, len(idx), raw))
+            q.put(None)
+        except BaseException as e:  # propagate to the consumer
+            q.put(e)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+
+    def consume(start, m, out):
+        Rs[start:start + m] = np.asarray(out[0])[:m]
+        ts[start:start + m] = np.asarray(out[1])[:m]
+        ok[start:start + m] = np.asarray(out[2])[:m]
         pos = 4
         if collect_masks:
             vis_masks.extend(np.asarray(out[pos])[:m])
@@ -178,6 +197,27 @@ def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
             pos += 2
         if collect_codes:
             code_list.extend(np.asarray(out[pos])[:m])
+
+    pending = None
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        start, m, raw = item
+        feed = {k: raw[k] for k in ("rgb", "label", "mask", "entire_mask",
+                                    "roi_param", "valid")}
+        out = eval_step(
+            feed, jnp.asarray(raw["final_bbox"].astype(np.int32)),
+            jnp.asarray(raw["K"]), jax.random.fold_in(key, start),
+            {} if variables is None else variables)
+        if pending is not None:
+            consume(*pending)
+        pending = (start, m, out)
+    if pending is not None:
+        consume(*pending)
+    thread.join()
     result = (Rs, ts, ok)
     if collect_masks:
         result = result + (np.array(vis_masks), np.array(ent_masks))

@@ -31,7 +31,9 @@ from zebrapose_tpu.ops.pnp import PnPConfig
 
 
 def load_model_variables(ckpt_file: str, model: ZebraPoseNet,
-                         variant: str, crop_size: int) -> Dict:
+                         variant: str, crop_size: int,
+                         resnet_layers: int = 34,
+                         nonbinary: bool = False) -> Dict:
     """Load model variables from either a reference torch .pth checkpoint
     (converted on the fly) or an orbax checkpoint directory."""
     import jax
@@ -43,7 +45,9 @@ def load_model_variables(ckpt_file: str, model: ZebraPoseNet,
             convert_reference_state_dict)
         ckpt = torch.load(ckpt_file, map_location="cpu")
         sd = ckpt.get("model_state_dict", ckpt)
-        return convert_reference_state_dict(sd, variant=variant)
+        return convert_reference_state_dict(
+            sd, variant=variant, nonbinary=nonbinary,
+            resnet_layers=resnet_layers)
 
     from zebrapose_tpu.train.checkpoints import CheckpointManager
     from zebrapose_tpu.train.state import create_train_state
@@ -181,10 +185,13 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
     model = ZebraPoseNet(
         binary_code_length=cfg.number_of_itration,
         base=cfg.divide_number_each_itration, variant=variant,
+        resnet_layers=cfg.resnet_layer,
         concat=cfg.concat_encoder_decoder,
         output_kernel_size=cfg.output_kernel_size)
     variables = load_model_variables(
-        ckpt_file, model, variant, cfg.BoundingBox_CropSize_image)
+        ckpt_file, model, variant, cfg.BoundingBox_CropSize_image,
+        resnet_layers=cfg.resnet_layer,
+        nonbinary=cfg.divide_number_each_itration != 2)
 
     if pnp_cfg is None:
         pnp_cfg = PnPConfig()

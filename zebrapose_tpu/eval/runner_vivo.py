@@ -49,10 +49,13 @@ def run_vivo(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
     model = ZebraPoseNet(
         binary_code_length=cfg.number_of_itration,
         base=cfg.divide_number_each_itration, variant=variant,
+        resnet_layers=cfg.resnet_layer,
         concat=cfg.concat_encoder_decoder,
         output_kernel_size=cfg.output_kernel_size)
     variables = load_model_variables(
-        ckpt_file, model, variant, cfg.BoundingBox_CropSize_image)
+        ckpt_file, model, variant, cfg.BoundingBox_CropSize_image,
+        resnet_layers=cfg.resnet_layer,
+        nonbinary=cfg.divide_number_each_itration != 2)
 
     eval_step = make_eval_step(
         lambda b, v: model.apply(v, b["image"], train=False), lut,

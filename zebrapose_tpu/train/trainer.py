@@ -26,8 +26,11 @@ import numpy as np
 from zebrapose_tpu.codec.lut import CorrespondenceLUT
 from zebrapose_tpu.config import ZebraConfig
 from zebrapose_tpu.data.pipeline import (
+    CachedBatchIterator,
     CropDatasetHost,
+    DeviceDatasetCache,
     MixedBatchIterator,
+    gather_preprocess_batch,
     preprocess_batch,
 )
 from zebrapose_tpu.eval.evaluate import (
@@ -68,6 +71,7 @@ class TrainResources:
     total_iterations: int
     pnp_cfg: PnPConfig = PnPConfig()
     val_batch_size: int = 16
+    device_cache: Optional[object] = None  # DeviceDatasetCache
 
 
 def _loss_cfg(cfg: ZebraConfig) -> CodeLossConfig:
@@ -122,7 +126,7 @@ def _validate_loss_only(res: TrainResources, state: TrainState,
 
 def fit(res: TrainResources, log_freq: int = 1000,
         validate: bool = True, max_steps: Optional[int] = None,
-        val_mode: str = "pose") -> float:
+        val_mode: str = "pose", sync_freq: int = 50) -> float:
     """Run the training loop; returns the best validation recall.
 
     val_mode: "pose" = full decode->PnP->ADD recall validation with
@@ -162,22 +166,48 @@ def fit(res: TrainResources, log_freq: int = 1000,
     try:
         for it in range(start_step, end_step):
             raw = next(res.train_iter)
-            feed = {k: raw[k] for k in ("rgb", "label", "mask",
-                                        "entire_mask", "roi_param",
-                                        "valid")}
-            batch = preprocess_batch(
-                shard_batch(res.mesh, feed), jax.random.fold_in(key, it),
-                crop_img=cfg.BoundingBox_CropSize_image,
-                crop_gt=cfg.BoundingBox_CropSize_GT,
-                base=cfg.divide_number_each_itration,
-                n_bits=cfg.number_of_itration, is_train=True,
-                resize_method=cfg.resize_method,
-                use_pepper_salt=cfg.use_peper_salt,
-                use_motion_blur=cfg.use_motion_blur)
+            if res.device_cache is not None:
+                # index-only input: pixels are already in HBM, the batch
+                # is gathered + preprocessed in one device program
+                feed = shard_batch(res.mesh, {
+                    k: raw[k] for k in ("idx", "roi_param", "valid")})
+                batch = gather_preprocess_batch(
+                    res.device_cache.arrays, feed["idx"],
+                    feed["roi_param"], feed["valid"],
+                    jax.random.fold_in(key, it),
+                    crop_img=cfg.BoundingBox_CropSize_image,
+                    crop_gt=cfg.BoundingBox_CropSize_GT,
+                    base=cfg.divide_number_each_itration,
+                    n_bits=cfg.number_of_itration,
+                    resize_method=cfg.resize_method,
+                    use_pepper_salt=cfg.use_peper_salt,
+                    use_motion_blur=cfg.use_motion_blur)
+            else:
+                feed = {k: raw[k] for k in ("rgb", "label", "mask",
+                                            "entire_mask", "roi_param",
+                                            "valid")}
+                batch = preprocess_batch(
+                    shard_batch(res.mesh, feed),
+                    jax.random.fold_in(key, it),
+                    crop_img=cfg.BoundingBox_CropSize_image,
+                    crop_gt=cfg.BoundingBox_CropSize_GT,
+                    base=cfg.divide_number_each_itration,
+                    n_bits=cfg.number_of_itration, is_train=True,
+                    resize_method=cfg.resize_method,
+                    use_pepper_salt=cfg.use_peper_salt,
+                    use_motion_blur=cfg.use_motion_blur)
             state, metrics = train_step(
                 state, batch, loss_cfg,
                 binary_loss_weight=float(cfg.binary_loss_weight),
                 predict_entire_mask=cfg.predict_entire_mask)
+
+            if (it + 1) % sync_freq == 0:
+                # Drain the dispatch queue: every queued execution pins
+                # its host-side input buffers (~80 MB/step of raw
+                # frames), and on the axon platform block_until_ready is
+                # a no-op — fetching a scalar is the only sync. Without
+                # this a 500-step log cadence leaks tens of GB.
+                float(jax.device_get(metrics["loss_total"]))
 
             if (it + 1) % log_freq == 0 or it + 1 == end_step:
                 scalars = {k: float(jax.device_get(v))
@@ -189,9 +219,11 @@ def fit(res: TrainResources, log_freq: int = 1000,
                 res.ckpt.save(state)
 
                 if eval_step is not None:
+                    # keep weights on device (a device_get here would
+                    # round-trip ~124 MB through the tunnel per val)
                     variables = {
-                        "params": jax.device_get(state.params),
-                        "batch_stats": jax.device_get(state.batch_stats)}
+                        "params": state.params,
+                        "batch_stats": state.batch_stats}
                     r = evaluate_object(
                         res.val_dataset, eval_step, res.vertices,
                         res.diameter, res.symmetric, res.obj_id, "val",
@@ -278,7 +310,8 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
                       max_val_samples: int = 512,
                       bf16: bool = False,
                       gamma: float = 1.0,
-                      cache_images: bool = False) -> TrainResources:
+                      cache_images: bool = False,
+                      device_cache: bool = False) -> TrainResources:
     """Assemble TrainResources from a real BOP tree (train_v2.py:40-223).
 
     pretrained_backbone: path to a torchvision resnet34 .pth, "auto"
@@ -286,6 +319,10 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
     always trains from ImageNet weights), or None to train from scratch.
     gamma: StepLR decay per 10 validation cadences (1.0 = train_v2/v5
     recipe, 0.7 = train_v3 recipe).
+    device_cache: upload the full training split's pixels to device HBM
+    once and feed the train loop indices only (DeviceDatasetCache) —
+    for splits that fit (~2.4 MB/sample); removes the per-step raw-frame
+    stream entirely.
     """
     from zebrapose_tpu.data import bop_io
     from zebrapose_tpu.data.dataset_info import is_symmetric, lookup_obj_id
@@ -348,6 +385,7 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
     model = ZebraPoseNet(
         binary_code_length=cfg.number_of_itration,
         base=cfg.divide_number_each_itration, variant=variant,
+        resnet_layers=cfg.resnet_layer,
         concat=cfg.concat_encoder_decoder,
         output_kernel_size=cfg.output_kernel_size,
         dtype=jnp.bfloat16 if bf16 else jnp.float32)
@@ -383,10 +421,19 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
         state = ckpt.restore(state)
     logger = MetricsLogger(os.path.join(output_dir, "logs"))
 
-    train_iter = MixedBatchIterator(
-        ds1, ds2, batch_size=local_batch,
-        second_dataset_ratio=cfg.second_dataset_ratio,
-        seed=_jax.process_index(), num_workers=cfg.num_workers)
+    dev_cache = None
+    if device_cache:
+        dev_cache = DeviceDatasetCache(
+            [d for d in (ds1, ds2) if d is not None], mesh=mesh)
+        train_iter = CachedBatchIterator(
+            dev_cache, batch_size=local_batch,
+            second_dataset_ratio=cfg.second_dataset_ratio,
+            seed=_jax.process_index())
+    else:
+        train_iter = MixedBatchIterator(
+            ds1, ds2, batch_size=local_batch,
+            second_dataset_ratio=cfg.second_dataset_ratio,
+            seed=_jax.process_index(), num_workers=cfg.num_workers)
 
     return TrainResources(
         cfg=cfg, model=model, state=state, mesh=mesh,
@@ -394,4 +441,4 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
         vertices=vertices, diameter=diameter,
         symmetric=is_symmetric(cfg.dataset_name, obj_name),
         obj_id=obj_id, obj_name=obj_name, ckpt=ckpt, logger=logger,
-        total_iterations=iters)
+        total_iterations=iters, device_cache=dev_cache)
