@@ -219,6 +219,40 @@ def test_device_cache_matches_streaming(tmp_path):
                                       np.asarray(streamed[k]), err_msg=k)
 
 
+def test_device_prefetch_matches_inner(tmp_path):
+    """DevicePrefetchIterator must yield the same feed the wrapped
+    iterator would produce, already placed as committed jax.Arrays with
+    the batch sharding (so fit can skip shard_batch)."""
+    from zebrapose_tpu.data.pipeline import DevicePrefetchIterator
+    from zebrapose_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    ds = _mk_ds(tmp_path, is_train=False)
+    # same seed + no worker pool -> identical draw sequences
+    inner = MixedBatchIterator(ds, None, batch_size=8, seed=5,
+                               num_workers=0)
+    oracle = MixedBatchIterator(ds, None, batch_size=8, seed=5,
+                                num_workers=0)
+    mesh = make_mesh()
+    pref = DevicePrefetchIterator(inner, mesh)
+    assert pref.device_resident
+    try:
+        sh = batch_sharding(mesh)
+        for _ in range(3):
+            feed = next(pref)
+            raw = next(oracle)
+            assert set(feed) == set(DevicePrefetchIterator.FEED_KEYS)
+            for k in feed:
+                assert isinstance(feed[k], jax.Array), k
+                assert feed[k].sharding.is_equivalent_to(sh, feed[k].ndim)
+                np.testing.assert_array_equal(np.asarray(feed[k]), raw[k],
+                                              err_msg=k)
+    finally:
+        pref.close()
+        oracle.close()
+    # close() must also stop the wrapped iterator's prefetch thread
+    assert not inner._thread.is_alive()
+
+
 def test_cached_iterator_mixed_ratio(tmp_path):
     from zebrapose_tpu.data.pipeline import (CachedBatchIterator,
                                              DeviceDatasetCache)

@@ -481,6 +481,65 @@ class CachedBatchIterator:
         pass
 
 
+class DevicePrefetchIterator:
+    """Wrap a host batch iterator so each batch is placed onto the mesh
+    (shard_batch: device_put with the batch sharding) one step AHEAD in
+    a background thread — the H2D copy of batch k+1 overlaps the device
+    compute of batch k (flax.jax_utils.prefetch_to_device, recast for
+    NamedSharding/GSPMD instead of pmap). For pbr-scale splits that
+    can't live in HBM (DeviceDatasetCache) this hides the PCIe/link
+    latency of the ~2.4 MB/sample raw-frame stream; it cannot raise the
+    link's bandwidth ceiling, only remove the serialization.
+
+    Yields feed dicts whose leaves are committed jax.Arrays; consumers
+    must NOT re-shard them (`device_resident` marks this).
+    """
+
+    device_resident = True
+    FEED_KEYS = ("rgb", "label", "mask", "entire_mask", "roi_param",
+                 "valid")
+
+    def __init__(self, inner, mesh, keys: Sequence[str] = FEED_KEYS,
+                 depth: int = 2):
+        from zebrapose_tpu.parallel.mesh import shard_batch
+
+        self.inner = inner
+        self._q: queue.Queue = queue.Queue(maxsize=max(depth, 1))
+        self._stop = threading.Event()
+
+        def worker():
+            while not self._stop.is_set():
+                raw = next(inner)
+                feed = {k: raw[k] for k in keys}
+                batch = shard_batch(mesh, feed)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=10.0)
+        if hasattr(self.inner, "close"):
+            self.inner.close()
+
+
 @partial(jax.jit, static_argnames=("crop_img", "crop_gt", "base", "n_bits",
                                    "resize_method", "use_pepper_salt",
                                    "use_motion_blur"))

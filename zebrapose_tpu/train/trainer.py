@@ -29,6 +29,7 @@ from zebrapose_tpu.data.pipeline import (
     CachedBatchIterator,
     CropDatasetHost,
     DeviceDatasetCache,
+    DevicePrefetchIterator,
     MixedBatchIterator,
     gather_preprocess_batch,
     preprocess_batch,
@@ -183,11 +184,17 @@ def fit(res: TrainResources, log_freq: int = 1000,
                     use_pepper_salt=cfg.use_peper_salt,
                     use_motion_blur=cfg.use_motion_blur)
             else:
-                feed = {k: raw[k] for k in ("rgb", "label", "mask",
+                if getattr(res.train_iter, "device_resident", False):
+                    # DevicePrefetchIterator already sharded the feed
+                    # one step ahead; re-sharding would force a sync
+                    feed = raw
+                else:
+                    feed = shard_batch(res.mesh, {
+                        k: raw[k] for k in ("rgb", "label", "mask",
                                             "entire_mask", "roi_param",
-                                            "valid")}
+                                            "valid")})
                 batch = preprocess_batch(
-                    shard_batch(res.mesh, feed),
+                    feed,
                     jax.random.fold_in(key, it),
                     crop_img=cfg.BoundingBox_CropSize_image,
                     crop_gt=cfg.BoundingBox_CropSize_GT,
@@ -311,7 +318,8 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
                       bf16: bool = False,
                       gamma: float = 1.0,
                       cache_images: bool = False,
-                      device_cache: bool = False) -> TrainResources:
+                      device_cache: bool = False,
+                      device_prefetch: bool = False) -> TrainResources:
     """Assemble TrainResources from a real BOP tree (train_v2.py:40-223).
 
     pretrained_backbone: path to a torchvision resnet34 .pth, "auto"
@@ -323,6 +331,9 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
     once and feed the train loop indices only (DeviceDatasetCache) —
     for splits that fit (~2.4 MB/sample); removes the per-step raw-frame
     stream entirely.
+    device_prefetch: for splits too big for device_cache, overlap the
+    raw-frame H2D copy with compute by sharding each batch one step
+    ahead in a background thread (DevicePrefetchIterator).
     """
     from zebrapose_tpu.data import bop_io
     from zebrapose_tpu.data.dataset_info import is_symmetric, lookup_obj_id
@@ -434,6 +445,8 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
             ds1, ds2, batch_size=local_batch,
             second_dataset_ratio=cfg.second_dataset_ratio,
             seed=_jax.process_index(), num_workers=cfg.num_workers)
+        if device_prefetch:
+            train_iter = DevicePrefetchIterator(train_iter, mesh)
 
     return TrainResources(
         cfg=cfg, model=model, state=state, mesh=mesh,
