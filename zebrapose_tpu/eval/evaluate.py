@@ -35,8 +35,7 @@ from zebrapose_tpu.ops.metrics import (
     auc_step,
     recall_at,
 )
-from zebrapose_tpu.ops.pnp import PnPConfig, ransac_pnp
-from zebrapose_tpu.ops.roi import map_pixels_to_original
+from zebrapose_tpu.ops.pnp import PnPConfig, decode_to_pose
 
 
 @dataclasses.dataclass
@@ -103,22 +102,13 @@ def make_eval_step(forward_fn, lut: CorrespondenceLUT,
             codes = codes[..., :n_bits - ignore_bits]
 
         def decode_one(mask, code, bbox, Ki, k, valid):
-            from zebrapose_tpu.codec.surface_code import code_to_class_id
-            h, w = mask.shape
-            ids = code_to_class_id(code, base=base)
-            pts3d = lut_points[ids.reshape(-1)]
-            valid3d = lut_valid[ids.reshape(-1)]
-            fg = mask.reshape(-1) * valid3d.astype(mask.dtype) * valid
-            noise = jax.random.uniform(jax.random.fold_in(k, 1),
-                                       fg.shape, maxval=0.5)
-            kk = min(pnp_cfg.max_points, h * w)
-            _, sel = jax.lax.top_k(fg + noise * fg, kk)
-            w_sel = fg[sel]
-            px = jnp.stack([sel % w, sel // w], axis=-1)
-            orig = map_pixels_to_original(px, bbox, crop_gt).astype(
-                jnp.float32)
-            return ransac_pnp(pts3d[sel], orig, w_sel, Ki,
-                              jax.random.fold_in(k, 2), pnp_cfg)
+            # decode_to_pose feeds ALL pixels weighted by the mask into
+            # ransac_pnp (which bounds its own working subset); `valid`
+            # zeroes dummy/detection-less samples
+            return decode_to_pose(mask * valid, code, lut_points,
+                                  lut_valid, bbox, Ki, k,
+                                  bbox_size=crop_gt, base=base,
+                                  cfg=pnp_cfg)
 
         keys = jax.random.split(key, masks.shape[0])
         poses = jax.vmap(decode_one)(masks, codes, final_bbox, K, keys,

@@ -7,8 +7,9 @@ is the throughput ceiling of the whole system (SURVEY.md §7.4), so here it
 is a fixed-shape JAX program:
 
   * correspondences: predicted code planes -> class ids -> one `take`
-    gather from the dense LUT; foreground selection is a top-K over the
-    mask (fixed capacity, weight-masked) instead of `nonzero()`.
+    gather from the dense LUT; every pixel participates with weight =
+    foreground mask instead of `nonzero()` (no ragged shapes, and the
+    refine stages see all foreground pixels like the reference does).
   * hypotheses: `n_hypotheses` minimal 6-point sets sampled with
     `jax.random.categorical` over foreground weights, each solved by a
     vmapped weighted EPnP (beta cases N=1,2,3 + Gauss-Newton on betas,
@@ -45,7 +46,8 @@ class PnPConfig:
     sample_size: int = 6
     reproj_threshold: float = 2.0
     refine_iters: int = 2
-    max_points: int = 4096      # fixed correspondence capacity (top-K)
+    max_points: int = 4096      # correspondence subset capacity (one
+    #                             random rep per P/max_points block)
     min_points: int = 6         # reference: >=6 correspondences required
     gn_iters: int = 5           # Gauss-Newton iterations on betas
     fast_linalg: bool = True    # subspace-iteration/polar instead of
@@ -55,6 +57,12 @@ class PnPConfig:
     #                             on the final inlier set (Progressive-X
     #                             runs local optimization; plain cv2 EPnP
     #                             does not — this closes that gap)
+    hyp_solver: str = "epnp"    # minimal-set solver: "epnp" (cv2-family
+    #                             3-beta-case solve) or "dlt" (P6P null
+    #                             vector — ~3x cheaper but measured ~30x
+    #                             worse on 0.5px-noisy minimal sets
+    #                             [R err median .44 vs .013], so NOT the
+    #                             default; see dlt_p6p)
 
 
 def project_points(pts3d: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
@@ -331,6 +339,53 @@ def gauss_newton_pose_polish(pts3d: jnp.ndarray, pts2d: jnp.ndarray,
     return R, t
 
 
+def dlt_p6p(pts3d: jnp.ndarray, pts2d: jnp.ndarray, K: jnp.ndarray,
+            fast: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Direct P6P: one homogeneous null vector -> pose. [S>=6,3],[S,2].
+
+    The DLT system rows are exactly EPnP's M rows with the 4 control
+    points taken as the homogeneous frame (alphas = [X, 1]): the null
+    vector stacks the columns of s*R and s*t. Recover s from det, fix
+    orthogonality with one polar projection. ~3x cheaper than the
+    3-beta-case EPnP as a RANSAC hypothesis solver (one k=1 subspace
+    extraction + one polar instead of a k=4 basis + 3 x (betas-GN +
+    polar)); hypotheses from near-planar minimal sets are poor (DLT's
+    classic degeneracy — EPnP's beta cases 2/3 handle those), and the
+    unconstrained 12-dof fit is noise-fragile: at 0.5 px pixel noise the
+    median hypothesis R error measured ~30x worse than EPnP's, so this
+    stays an opt-in (PnPConfig.hyp_solver), not the default.
+    """
+    S = pts3d.shape[0]
+    alphas = jnp.concatenate(
+        [pts3d, jnp.ones((S, 1), pts3d.dtype)], axis=-1)      # [S,4]
+    mtm = _build_mtm(alphas, pts2d, jnp.ones((S,), pts3d.dtype), K)
+    if fast:
+        from zebrapose_tpu.ops.fast_linalg import smallest_subspace
+        v = smallest_subspace(mtm, k=1)[..., 0]               # [12]
+    else:
+        _, evecs = jnp.linalg.eigh(mtm)
+        v = evecs[:, 0]
+    cols = v.reshape(4, 3)                # rows: columns of s*R, then s*t
+    R_tilde = cols[:3].T                  # [3,3]
+    t_tilde = cols[3]
+    det = (R_tilde[0, 0] * (R_tilde[1, 1] * R_tilde[2, 2]
+                            - R_tilde[1, 2] * R_tilde[2, 1])
+           - R_tilde[0, 1] * (R_tilde[1, 0] * R_tilde[2, 2]
+                              - R_tilde[1, 2] * R_tilde[2, 0])
+           + R_tilde[0, 2] * (R_tilde[1, 0] * R_tilde[2, 1]
+                              - R_tilde[1, 1] * R_tilde[2, 0]))
+    s = jnp.sign(det) * jnp.cbrt(jnp.maximum(jnp.abs(det), 1e-20))
+    R_n = R_tilde / s
+    if fast:
+        from zebrapose_tpu.ops.fast_linalg import polar_rotation
+        R = polar_rotation(R_n)
+    else:
+        U, _, Vt = jnp.linalg.svd(R_n)
+        d = jnp.sign(jnp.linalg.det(U @ Vt))
+        R = U @ jnp.diag(jnp.array([1.0, 1.0, 1.0]).at[2].set(d)) @ Vt
+    return R, t_tilde / s
+
+
 def epnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
          K: jnp.ndarray, gn_iters: int = 5, fast: bool = True
          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -360,11 +415,13 @@ def epnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
             jnp.maximum(jnp.sum(w), 1e-8)
         return R, t, err
 
-    cands = [candidate(f(L, rho)) for f in
-             (_betas_case1, _betas_case2, _betas_case3)]
-    Rs = jnp.stack([c[0] for c in cands])
-    ts = jnp.stack([c[1] for c in cands])
-    errs = jnp.stack([c[2] for c in cands])
+    # one batched chain over the 3 beta initializations instead of three
+    # sequential ones: identical numerics, 3x fewer tiny sequential
+    # kernels through the betas-GN + polar iterations (the launch-bound
+    # part of the RANSAC hypothesis stage on TPU)
+    betas0 = jnp.stack([_betas_case1(L, rho), _betas_case2(L, rho),
+                        _betas_case3(L, rho)])
+    Rs, ts, errs = jax.vmap(candidate)(betas0)
     errs = jnp.where(jnp.isnan(errs), jnp.inf, errs)
     best = jnp.argmin(errs)
     return Rs[best], ts[best]
@@ -379,35 +436,76 @@ def ransac_pnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
                cfg: PnPConfig = PnPConfig()
                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                           jnp.ndarray]:
-    """RANSAC + weighted-EPnP over fixed-capacity correspondences.
+    """RANSAC + weighted-EPnP over fixed-shape correspondences.
 
     pts3d/pts2d: [P, .] with weight w[P] in {0,1} (0 = padding/background).
     Returns (R, t, success, inlier_count). Replaces
     cv2.solvePnPRansac(..., reprojectionError=2, iterationsCount=150,
-    SOLVEPNP_EPNP) with `n_hypotheses` parallel minimal solves.
+    SOLVEPNP_EPNP) with `n_hypotheses` parallel minimal solves. P may be
+    the full pixel grid: when P > cfg.max_points every stage runs on a
+    bounded per-block representative subset (see comment below).
     """
     P = pts3d.shape[0]
-    logits = jnp.where(w > 0, 0.0, -jnp.inf)
-    idx = jax.random.categorical(
-        key, logits[None, :], shape=(cfg.n_hypotheses, cfg.sample_size))
-    # degenerate empty mask -> categorical returns arbitrary; guarded below
-    idx = jnp.clip(idx, 0, P - 1)
 
-    samp3d = pts3d[idx]                              # [H, S, 3]
-    samp2d = pts2d[idx]
-    ones = jnp.ones((cfg.n_hypotheses, cfg.sample_size), pts3d.dtype)
-    Rs, ts = jax.vmap(lambda a, b, ww: epnp(
-        a, b, ww, K, cfg.gn_iters, cfg.fast_linalg))(
-        samp3d, samp2d, ones)
+    # --- bounded correspondence subset --------------------------------
+    # All stages run on a representative subset of at most max_points
+    # correspondences. When P exceeds max_points, take one random
+    # foreground representative per contiguous P/max_points block
+    # (reshape + argmax): near-exact for sparse masks (every block
+    # containing foreground contributes one pixel), spatially spread for
+    # dense ones, and shape-static — unlike the previous top_k sort
+    # (~15 ms/b128 at P=128^2 on v5e) or full-P refine/polish
+    # (+20 ms/b128). Tiny masks spanning fewer than min_points blocks
+    # lose solvability vs an exact compaction, but < 6-block masks are
+    # degenerate for pose anyway.
+    if P > cfg.max_points and P % cfg.max_points == 0:
+        blk = P // cfg.max_points
+        prio = w + w * jax.random.uniform(jax.random.fold_in(key, 3),
+                                          (P,), minval=0.0, maxval=0.5)
+        rep = jnp.argmax(prio.reshape(cfg.max_points, blk), axis=-1)
+        # extract the representatives as a one-hot block reduction, not a
+        # gather (XLA gathers are the slow op class on TPU)
+        oh = jax.nn.one_hot(rep, blk, dtype=pts3d.dtype)  # [Q, blk]
+        sub3d = jnp.einsum("qb,qbc->qc", oh,
+                           pts3d.reshape(cfg.max_points, blk, 3))
+        sub2d = jnp.einsum("qb,qbc->qc", oh,
+                           pts2d.reshape(cfg.max_points, blk, 2))
+        sub_w = jnp.einsum("qb,qb->q", oh,
+                           w.reshape(cfg.max_points, blk))
+    else:
+        sub3d, sub2d, sub_w = pts3d, pts2d, w
+    Q = sub3d.shape[0]
 
-    # score every hypothesis against all correspondences
+    # Inverse-CDF sampling of foreground indices (uniform over w>0, with
+    # replacement — the same distribution as categorical over {0, -inf}
+    # logits, but H*S uniforms + a compare-all search instead of H*S*Q
+    # gumbels: categorical was ~10 ms/b128 on v5e, this is <1 ms).
+    cdf = jnp.cumsum((sub_w > 0).astype(jnp.float32))
+    u = jax.random.uniform(key, (cfg.n_hypotheses, cfg.sample_size),
+                           maxval=jnp.maximum(cdf[-1], 1.0))
+    idx = jnp.searchsorted(cdf, u, side="right", method="compare_all")
+    # degenerate empty mask -> arbitrary index; guarded below (min_points)
+    idx = jnp.clip(idx, 0, Q - 1)
+
+    samp3d = sub3d[idx]                              # [H, S, 3]
+    samp2d = sub2d[idx]
+    if cfg.hyp_solver == "dlt":
+        Rs, ts = jax.vmap(lambda a, b: dlt_p6p(
+            a, b, K, cfg.fast_linalg))(samp3d, samp2d)
+    else:
+        ones = jnp.ones((cfg.n_hypotheses, cfg.sample_size), pts3d.dtype)
+        Rs, ts = jax.vmap(lambda a, b, ww: epnp(
+            a, b, ww, K, cfg.gn_iters, cfg.fast_linalg))(
+            samp3d, samp2d, ones)
+
+    # score every hypothesis against the (subset) correspondences
     def reproj_err(R, t):
-        proj = project_points(pts3d, R, t, K)
-        return jnp.linalg.norm(proj - pts2d, axis=-1)
+        proj = project_points(sub3d, R, t, K)
+        return jnp.linalg.norm(proj - sub2d, axis=-1)
 
-    errs = jax.vmap(reproj_err)(Rs, ts)              # [H, P]
+    errs = jax.vmap(reproj_err)(Rs, ts)              # [H, Q]
     errs = jnp.where(jnp.isnan(errs), jnp.inf, errs)
-    inliers = (errs < cfg.reproj_threshold) & (w > 0)[None, :]
+    inliers = (errs < cfg.reproj_threshold) & (sub_w > 0)[None, :]
     counts = jnp.sum(inliers, axis=-1)
     best = jnp.argmax(counts)
     R_best, t_best = Rs[best], ts[best]
@@ -417,13 +515,13 @@ def ransac_pnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
     # inlier set each round (cv2's final solve over the consensus set)
     def refine(carry, _):
         R, t, inl = carry
-        w_in = inl.astype(pts3d.dtype)
+        w_in = inl.astype(sub3d.dtype)
         enough = jnp.sum(w_in) >= cfg.min_points
-        R2, t2 = epnp(pts3d, pts2d, w_in, K, cfg.gn_iters,
+        R2, t2 = epnp(sub3d, sub2d, w_in, K, cfg.gn_iters,
                       cfg.fast_linalg)
-        err2 = jnp.linalg.norm(project_points(pts3d, R2, t2, K) - pts2d,
+        err2 = jnp.linalg.norm(project_points(sub3d, R2, t2, K) - sub2d,
                                axis=-1)
-        inl2 = (err2 < cfg.reproj_threshold) & (w > 0)
+        inl2 = (err2 < cfg.reproj_threshold) & (sub_w > 0)
         better = enough & (jnp.sum(inl2) >= jnp.sum(inl))
         R = jnp.where(better, R2, R)
         t = jnp.where(better, t2, t)
@@ -435,19 +533,20 @@ def ransac_pnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
 
     if cfg.polish_iters > 0:
         R_p, t_p = gauss_newton_pose_polish(
-            pts3d, pts2d, in_fin.astype(pts3d.dtype), K, R_fin, t_fin,
+            sub3d, sub2d, in_fin.astype(sub3d.dtype), K, R_fin, t_fin,
             cfg.polish_iters)
         # keep the polish only if it does not lose inliers
         err_p = jnp.linalg.norm(
-            project_points(pts3d, R_p, t_p, K) - pts2d, axis=-1)
-        in_p = (err_p < cfg.reproj_threshold) & (w > 0)
+            project_points(sub3d, R_p, t_p, K) - sub2d, axis=-1)
+        in_p = (err_p < cfg.reproj_threshold) & (sub_w > 0)
         better = jnp.sum(in_p) >= jnp.sum(in_fin)
         R_fin = jnp.where(better, R_p, R_fin)
         t_fin = jnp.where(better, t_p, t_fin)
         in_fin = jnp.where(better, in_p, in_fin)
 
     n_in = jnp.sum(in_fin)
-    success = (jnp.sum(w > 0) >= cfg.min_points) & (n_in >= cfg.min_points)
+    success = (jnp.sum(sub_w > 0) >= cfg.min_points) & \
+        (n_in >= cfg.min_points)
     eye = jnp.eye(3, dtype=pts3d.dtype)
     R_out = jnp.where(success, R_fin, eye)
     t_out = jnp.where(success, t_fin, jnp.zeros((3,), pts3d.dtype))
@@ -474,6 +573,12 @@ def decode_to_pose(mask: jnp.ndarray, code: jnp.ndarray,
     Pixel bookkeeping matches the reference: correspondence 2D point is
     the (x, y) crop pixel mapped through the final bbox with int
     truncation (mapping_pixel_position_to_original_position).
+
+    ALL H*W pixels go into ransac_pnp with weight = foreground
+    (CNN_output_to_pose.py builds correspondences from all masked
+    pixels); ransac_pnp bounds its own working set with a per-block
+    random-representative subset. The previous top-K compaction here
+    cost ~15 ms/b128 of pure sorting on v5e for the same capacity.
     """
     from zebrapose_tpu.codec.surface_code import code_to_class_id
     from zebrapose_tpu.ops.roi import map_pixels_to_original
@@ -484,18 +589,9 @@ def decode_to_pose(mask: jnp.ndarray, code: jnp.ndarray,
     valid3d = lut_valid[ids.reshape(-1)]
     fg = mask.reshape(-1) * valid3d.astype(mask.dtype)
 
-    # fixed-capacity top-K foreground selection (random among foreground)
-    noise = jax.random.uniform(jax.random.fold_in(key, 1), fg.shape,
-                               minval=0.0, maxval=0.5)
-    score = fg + noise * fg
-    k = min(cfg.max_points, h * w_img)
-    _, sel = jax.lax.top_k(score, k)
-    w_sel = fg[sel]
-
-    yy = sel // w_img
-    xx = sel % w_img
-    px = jnp.stack([xx, yy], axis=-1)                # (x, y) crop pixels
+    pix = jnp.arange(h * w_img, dtype=jnp.int32)
+    px = jnp.stack([pix % w_img, pix // w_img], axis=-1)   # (x, y)
     orig = map_pixels_to_original(px, bbox, bbox_size).astype(jnp.float32)
 
-    return ransac_pnp(pts3d[sel], orig, w_sel, K,
+    return ransac_pnp(pts3d, orig, fg, K,
                       jax.random.fold_in(key, 2), cfg)
