@@ -35,7 +35,7 @@ from zebrapose_tpu.ops.metrics import (
     auc_step,
     recall_at,
 )
-from zebrapose_tpu.ops.pnp import PnPConfig, decode_to_pose
+from zebrapose_tpu.ops.pnp import PnPConfig, decode_to_pose_batch
 
 
 @dataclasses.dataclass
@@ -101,18 +101,15 @@ def make_eval_step(forward_fn, lut: CorrespondenceLUT,
         if ignore_bits:
             codes = codes[..., :n_bits - ignore_bits]
 
-        def decode_one(mask, code, bbox, Ki, k, valid):
-            # decode_to_pose feeds ALL pixels weighted by the mask into
-            # ransac_pnp (which bounds its own working subset); `valid`
-            # zeroes dummy/detection-less samples
-            return decode_to_pose(mask * valid, code, lut_points,
-                                  lut_valid, bbox, Ki, k,
-                                  bbox_size=crop_gt, base=base,
-                                  cfg=pnp_cfg)
-
+        # decode_to_pose_batch feeds ALL pixels weighted by the mask into
+        # the RANSAC (which bounds its own working subset) and runs the
+        # hypothesis stage as one fused Pallas kernel on TPU; `valid`
+        # zeroes dummy/detection-less samples
         keys = jax.random.split(key, masks.shape[0])
-        poses = jax.vmap(decode_one)(masks, codes, final_bbox, K, keys,
-                                     raw["valid"])
+        poses = decode_to_pose_batch(
+            masks * raw["valid"][:, None, None], codes, lut_points,
+            lut_valid, final_bbox, K, keys, bbox_size=crop_gt,
+            base=base, cfg=pnp_cfg)
         extra = ()
         if return_masks:
             if mask_from_dataset:

@@ -431,19 +431,10 @@ def epnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
 # RANSAC
 # ---------------------------------------------------------------------------
 
-def ransac_pnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
-               K: jnp.ndarray, key: jax.Array,
-               cfg: PnPConfig = PnPConfig()
-               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
-                          jnp.ndarray]:
-    """RANSAC + weighted-EPnP over fixed-shape correspondences.
-
-    pts3d/pts2d: [P, .] with weight w[P] in {0,1} (0 = padding/background).
-    Returns (R, t, success, inlier_count). Replaces
-    cv2.solvePnPRansac(..., reprojectionError=2, iterationsCount=150,
-    SOLVEPNP_EPNP) with `n_hypotheses` parallel minimal solves. P may be
-    the full pixel grid: when P > cfg.max_points every stage runs on a
-    bounded per-block representative subset (see comment below).
+def _ransac_prepare(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
+                    key: jax.Array, cfg: PnPConfig):
+    """Subset build + minimal-set sampling. Returns
+    (sub3d [Q,3], sub2d [Q,2], sub_w [Q], samp3d [H,S,3], samp2d [H,S,2]).
     """
     P = pts3d.shape[0]
 
@@ -489,15 +480,24 @@ def ransac_pnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
 
     samp3d = sub3d[idx]                              # [H, S, 3]
     samp2d = sub2d[idx]
-    if cfg.hyp_solver == "dlt":
-        Rs, ts = jax.vmap(lambda a, b: dlt_p6p(
-            a, b, K, cfg.fast_linalg))(samp3d, samp2d)
-    else:
-        ones = jnp.ones((cfg.n_hypotheses, cfg.sample_size), pts3d.dtype)
-        Rs, ts = jax.vmap(lambda a, b, ww: epnp(
-            a, b, ww, K, cfg.gn_iters, cfg.fast_linalg))(
-            samp3d, samp2d, ones)
+    return sub3d, sub2d, sub_w, samp3d, samp2d
 
+
+def _solve_hypotheses(samp3d, samp2d, K, cfg: PnPConfig):
+    """Minimal-set solves for one instance's [H, S, .] samples (jnp)."""
+    if cfg.hyp_solver == "dlt":
+        return jax.vmap(lambda a, b: dlt_p6p(
+            a, b, K, cfg.fast_linalg))(samp3d, samp2d)
+    ones = jnp.ones(samp3d.shape[:2], samp3d.dtype)
+    return jax.vmap(lambda a, b, ww: epnp(
+        a, b, ww, K, cfg.gn_iters, cfg.fast_linalg))(samp3d, samp2d, ones)
+
+
+def _ransac_finish(sub3d, sub2d, sub_w, Rs, ts, K,
+                   cfg: PnPConfig
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                              jnp.ndarray]:
+    """Score hypotheses, refine on inliers, polish, gate success."""
     # score every hypothesis against the (subset) correspondences
     def reproj_err(R, t):
         proj = project_points(sub3d, R, t, K)
@@ -547,10 +547,34 @@ def ransac_pnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
     n_in = jnp.sum(in_fin)
     success = (jnp.sum(sub_w > 0) >= cfg.min_points) & \
         (n_in >= cfg.min_points)
-    eye = jnp.eye(3, dtype=pts3d.dtype)
+    eye = jnp.eye(3, dtype=sub3d.dtype)
     R_out = jnp.where(success, R_fin, eye)
-    t_out = jnp.where(success, t_fin, jnp.zeros((3,), pts3d.dtype))
+    t_out = jnp.where(success, t_fin, jnp.zeros((3,), sub3d.dtype))
     return R_out, t_out, success, n_in
+
+
+def ransac_pnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
+               K: jnp.ndarray, key: jax.Array,
+               cfg: PnPConfig = PnPConfig()
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                          jnp.ndarray]:
+    """RANSAC + weighted-EPnP over fixed-shape correspondences.
+
+    pts3d/pts2d: [P, .] with weight w[P] in {0,1} (0 = padding/background).
+    Returns (R, t, success, inlier_count). Replaces
+    cv2.solvePnPRansac(..., reprojectionError=2, iterationsCount=150,
+    SOLVEPNP_EPNP) with `n_hypotheses` parallel minimal solves. P may be
+    the full pixel grid: when P > cfg.max_points every stage runs on a
+    bounded per-block representative subset (see _ransac_prepare).
+
+    This is the single-instance jnp composition; the batched TPU path
+    (`decode_to_pose_batch`) runs the hypothesis stage as one fused
+    Pallas kernel over all instances instead.
+    """
+    sub3d, sub2d, sub_w, samp3d, samp2d = _ransac_prepare(
+        pts3d, pts2d, w, key, cfg)
+    Rs, ts = _solve_hypotheses(samp3d, samp2d, K, cfg)
+    return _ransac_finish(sub3d, sub2d, sub_w, Rs, ts, K, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -580,6 +604,15 @@ def decode_to_pose(mask: jnp.ndarray, code: jnp.ndarray,
     random-representative subset. The previous top-K compaction here
     cost ~15 ms/b128 of pure sorting on v5e for the same capacity.
     """
+    pts3d, orig, fg = _correspondences(mask, code, lut_points, lut_valid,
+                                       bbox, bbox_size, base)
+    return ransac_pnp(pts3d, orig, fg, K,
+                      jax.random.fold_in(key, 2), cfg)
+
+
+def _correspondences(mask, code, lut_points, lut_valid, bbox,
+                     bbox_size: int, base: int):
+    """[H,W] mask + code planes -> (pts3d [H*W,3], pts2d [H*W,2], fg)."""
     from zebrapose_tpu.codec.surface_code import code_to_class_id
     from zebrapose_tpu.ops.roi import map_pixels_to_original
 
@@ -592,6 +625,53 @@ def decode_to_pose(mask: jnp.ndarray, code: jnp.ndarray,
     pix = jnp.arange(h * w_img, dtype=jnp.int32)
     px = jnp.stack([pix % w_img, pix // w_img], axis=-1)   # (x, y)
     orig = map_pixels_to_original(px, bbox, bbox_size).astype(jnp.float32)
+    return pts3d, orig, fg
 
-    return ransac_pnp(pts3d, orig, fg, K,
-                      jax.random.fold_in(key, 2), cfg)
+
+@partial(jax.jit, static_argnames=("bbox_size", "cfg", "base",
+                                   "use_kernel"))
+def decode_to_pose_batch(masks: jnp.ndarray, codes: jnp.ndarray,
+                         lut_points: jnp.ndarray, lut_valid: jnp.ndarray,
+                         bboxes: jnp.ndarray, Ks: jnp.ndarray,
+                         keys: jnp.ndarray, bbox_size: int = 128,
+                         base: int = 2, cfg: PnPConfig = PnPConfig(),
+                         use_kernel: bool = None
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                    jnp.ndarray]:
+    """Batched decode_to_pose: masks [B,H,W], codes [B,H,W,n],
+    bboxes [B,4], Ks [B,3,3], keys [B,2] -> (R [B,3,3], t [B,3],
+    success [B], n_inliers [B]).
+
+    Identical math to `jax.vmap(decode_to_pose)`, but the hypothesis
+    stage — B*n_hypotheses independent minimal-set EPnP solves, the
+    dispatch-bound hot spot (PERF.md) — runs as ONE fused Pallas kernel
+    over the flattened batch on TPU (ops/pnp_kernel.py). use_kernel:
+    None = kernel on TPU / vmapped jnp elsewhere.
+    """
+    from zebrapose_tpu.ops.pnp_kernel import minimal_epnp_hypotheses
+
+    def prep(mask, code, bbox, key):
+        pts3d, orig, fg = _correspondences(
+            mask, code, lut_points, lut_valid, bbox, bbox_size, base)
+        return _ransac_prepare(pts3d, orig, fg,
+                               jax.random.fold_in(key, 2), cfg)
+
+    sub3d, sub2d, sub_w, samp3d, samp2d = jax.vmap(prep)(
+        masks, codes, bboxes, keys)
+
+    B, H = samp3d.shape[0], samp3d.shape[1]
+    if cfg.hyp_solver == "dlt":
+        Rs, ts = jax.vmap(lambda a, b, K: jax.vmap(
+            lambda x, y: dlt_p6p(x, y, K, cfg.fast_linalg))(a, b))(
+            samp3d, samp2d, Ks)
+    else:
+        Ks_flat = jnp.repeat(Ks, H, axis=0)          # [B*H, 3, 3]
+        Rs, ts = minimal_epnp_hypotheses(
+            samp3d.reshape(B * H, cfg.sample_size, 3),
+            samp2d.reshape(B * H, cfg.sample_size, 2),
+            Ks_flat, cfg.gn_iters, use_kernel=use_kernel)
+        Rs = Rs.reshape(B, H, 3, 3)
+        ts = ts.reshape(B, H, 3)
+
+    return jax.vmap(lambda a, b, c, d, e, f: _ransac_finish(
+        a, b, c, d, e, f, cfg))(sub3d, sub2d, sub_w, Rs, ts, Ks)
