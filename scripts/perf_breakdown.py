@@ -54,7 +54,7 @@ def main():
     from zebrapose_tpu.data.pipeline import preprocess_batch
     from zebrapose_tpu.models.zebra_net import ZebraPoseNet
     from zebrapose_tpu.ops.binarize import code_from_logits
-    from zebrapose_tpu.ops.pnp import PnPConfig, decode_to_pose
+    from zebrapose_tpu.ops.pnp import PnPConfig, decode_to_pose_batch
 
     n_bits = 16
     rng = np.random.default_rng(0)
@@ -110,12 +110,10 @@ def main():
         out = model.apply(variables, b["image"], train=False)
         codes = code_from_logits(out["code"].astype(jnp.float32))
         keys = jax.random.split(key, masks.shape[0])
-
-        def one(mask, code, bbox, k):
-            return decode_to_pose(mask, code, lut_points, lut_valid,
-                                  bbox, K, k, bbox_size=128, cfg=pnp_cfg)
-
-        Rs, ts, ok, _ = jax.vmap(one)(masks, codes, bboxes, keys)
+        Ks = jnp.broadcast_to(K, (masks.shape[0], 3, 3))
+        Rs, ts, ok, _ = decode_to_pose_batch(
+            masks, codes, lut_points, lut_valid, bboxes, Ks, keys,
+            bbox_size=128, cfg=pnp_cfg)
         return jnp.sum(ts) + jnp.sum(ok)
 
     rtt = timeit(noop, (jnp.float32(1.0),), iters=20)

@@ -1,14 +1,16 @@
 """Sub-stage device-time breakdown of the batched RANSAC+EPnP solver.
 
-perf_breakdown.py showed +ransac is ~56 ms/b128 (vs 80 ms for the whole
-ResNet34+ASPP forward at 92% of MXU peak) — this script times nested
-prefixes of ransac_pnp itself to find which stage to attack:
+perf_breakdown.py shows the pipeline-level split; this script times
+nested prefixes of the PRODUCTION ransac program (the same
+_ransac_prepare / hypothesis-solve / _ransac_finish phases
+decode_to_pose_batch composes) so the cost of each stage is visible:
 
-  sample   — categorical foreground draws [H, S]
-  hyp      — + vmapped minimal-set EPnP (H per instance)
-  score    — + reprojection of all P points against every hypothesis
-  refine   — + inlier re-solves (refine_iters full-P EPnPs)
-  full     — + SE(3) Gauss-Newton polish (= production program)
+  prepare      — block-representative subset + inverse-CDF minimal-set
+                 sampling
+  +hyp (jnp)   — + vmapped minimal-set EPnP (the pre-kernel path)
+  +hyp (pallas)— + the fused SoA kernel (ops/pnp_kernel.py) instead
+  full         — + scoring, inlier refine, SE(3) polish
+  full nokernel— same with the vmapped jnp hypothesis stage
 
 Run on the real TPU:  python scripts/ransac_breakdown.py
 """
@@ -38,7 +40,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+", default=[32, 128])
     ap.add_argument("--hypotheses", type=int, default=128)
-    ap.add_argument("--points", type=int, default=2048)
+    ap.add_argument("--points", type=int, default=16384)
     args = ap.parse_args()
 
     import jax
@@ -52,113 +54,90 @@ def main():
         pass
 
     from zebrapose_tpu.ops import pnp
+    from zebrapose_tpu.ops.pnp_kernel import minimal_epnp_hypotheses
 
-    cfg = pnp.PnPConfig(n_hypotheses=args.hypotheses,
-                        max_points=args.points)
-    K = jnp.asarray(np.array([[572.4114, 0, 325.2611],
-                              [0, 573.57043, 242.04899],
-                              [0, 0, 1]], np.float32))
+    cfg = pnp.PnPConfig(n_hypotheses=args.hypotheses, max_points=2048)
+    Kn = np.array([[572.4114, 0, 325.2611],
+                   [0, 573.57043, 242.04899], [0, 0, 1]], np.float32)
+    K = jnp.asarray(Kn)
     rng = np.random.default_rng(0)
 
     def make_inputs(b):
-        # realistic geometry: true poses, 70% inliers
-        pts3d = rng.uniform(-40, 40, size=(b, args.points, 3)) \
-            .astype(np.float32)
+        P = args.points
+        pts3d = rng.uniform(-40, 40, size=(b, P, 3)).astype(np.float32)
         R = np.stack([np.linalg.qr(rng.normal(size=(3, 3)))[0]
                       for _ in range(b)])
         R[np.linalg.det(R) < 0] *= -1
         t = np.concatenate([rng.uniform(-30, 30, (b, 2)),
                             rng.uniform(450, 650, (b, 1))], -1)
         pc = np.einsum("bij,bpj->bpi", R, pts3d) + t[:, None, :]
-        uv = np.stack([572.4114 * pc[..., 0] / pc[..., 2] + 325.2611,
-                       573.57043 * pc[..., 1] / pc[..., 2] + 242.04899],
+        uv = np.stack([Kn[0, 0] * pc[..., 0] / pc[..., 2] + Kn[0, 2],
+                       Kn[1, 1] * pc[..., 1] / pc[..., 2] + Kn[1, 2]],
                       -1).astype(np.float32)
-        out = rng.random((b, args.points)) < 0.3
+        out = rng.random((b, P)) < 0.3
         uv = np.where(out[..., None],
                       rng.uniform(0, 640, uv.shape).astype(np.float32), uv)
-        w = (rng.random((b, args.points)) < 0.8).astype(np.float32)
+        w = (rng.random((b, P)) < 0.2).astype(np.float32)
         keys = jax.random.split(jax.random.PRNGKey(1), b)
         return (jnp.asarray(pts3d), jnp.asarray(uv), jnp.asarray(w), keys)
 
-    def sample_stage(pts3d, pts2d, w, key):
-        P = pts3d.shape[0]
-        logits = jnp.where(w > 0, 0.0, -jnp.inf)
-        idx = jax.random.categorical(
-            key, logits[None, :], shape=(cfg.n_hypotheses, cfg.sample_size))
-        idx = jnp.clip(idx, 0, P - 1)
-        return idx, pts3d[idx], pts2d[idx]
-
-    def hyp_stage(pts3d, pts2d, w, key):
-        _, s3, s2 = sample_stage(pts3d, pts2d, w, key)
-        ones = jnp.ones((cfg.n_hypotheses, cfg.sample_size), jnp.float32)
-        Rs, ts = jax.vmap(lambda a, b2, ww: pnp.epnp(
-            a, b2, ww, K, cfg.gn_iters, cfg.fast_linalg))(s3, s2, ones)
-        return Rs, ts
-
-    def score_stage(pts3d, pts2d, w, key):
-        Rs, ts = hyp_stage(pts3d, pts2d, w, key)
-        errs = jax.vmap(lambda R, t: jnp.linalg.norm(
-            pnp.project_points(pts3d, R, t, K) - pts2d, axis=-1))(Rs, ts)
-        errs = jnp.where(jnp.isnan(errs), jnp.inf, errs)
-        inl = (errs < cfg.reproj_threshold) & (w > 0)[None, :]
-        counts = jnp.sum(inl, axis=-1)
-        best = jnp.argmax(counts)
-        return Rs[best], ts[best], inl[best]
-
-    progs = {}
+    def prepare(p3, p2, w, keys):
+        return jax.vmap(lambda a, b2, c, k: pnp._ransac_prepare(
+            a, b2, c, k, cfg))(p3, p2, w, keys)
 
     @jax.jit
-    def p_sample(p3, p2, w, keys):
-        idx, s3, s2 = jax.vmap(sample_stage)(p3, p2, w, keys)
-        return jnp.sum(s3) + jnp.sum(s2)
+    def p_prepare(p3, p2, w, keys):
+        parts = prepare(p3, p2, w, keys)
+        return sum(jnp.sum(x) for x in parts)
 
-    @jax.jit
-    def p_hyp(p3, p2, w, keys):
-        Rs, ts = jax.vmap(hyp_stage)(p3, p2, w, keys)
-        return jnp.sum(Rs) + jnp.sum(ts)
+    def hyp(samp3d, samp2d, b, use_kernel):
+        H, Ssz = cfg.n_hypotheses, cfg.sample_size
+        Ks = jnp.broadcast_to(K, (b * H, 3, 3))
+        return minimal_epnp_hypotheses(
+            samp3d.reshape(b * H, Ssz, 3), samp2d.reshape(b * H, Ssz, 2),
+            Ks, cfg.gn_iters, use_kernel=use_kernel)
 
-    @jax.jit
-    def p_score(p3, p2, w, keys):
-        R, t, inl = jax.vmap(score_stage)(p3, p2, w, keys)
-        return jnp.sum(R) + jnp.sum(inl)
+    def make_hyp(use_kernel):
+        @jax.jit
+        def p_hyp(p3, p2, w, keys):
+            _, _, _, samp3d, samp2d = prepare(p3, p2, w, keys)
+            Rs, ts = hyp(samp3d, samp2d, p3.shape[0], use_kernel)
+            return jnp.sum(Rs) + jnp.sum(ts)
+        return p_hyp
 
-    @jax.jit
-    def p_full(p3, p2, w, keys):
-        R, t, ok, n = jax.vmap(
-            lambda a, b2, ww, k: pnp.ransac_pnp(a, b2, ww, K, k, cfg))(
-            p3, p2, w, keys)
-        return jnp.sum(R) + jnp.sum(n)
+    def make_full(use_kernel):
+        @jax.jit
+        def p_full(p3, p2, w, keys):
+            sub3d, sub2d, sub_w, samp3d, samp2d = prepare(p3, p2, w, keys)
+            b = p3.shape[0]
+            Rs, ts = hyp(samp3d, samp2d, b, use_kernel)
+            H = cfg.n_hypotheses
+            Rs = Rs.reshape(b, H, 3, 3)
+            ts = ts.reshape(b, H, 3)
+            R, t, ok, n = jax.vmap(
+                lambda a, b2, c, d, e: pnp._ransac_finish(
+                    a, b2, c, d, e, K, cfg))(sub3d, sub2d, sub_w, Rs, ts)
+            return jnp.sum(R) + jnp.sum(n)
+        return p_full
 
-    cfg_nopolish = pnp.PnPConfig(
-        n_hypotheses=args.hypotheses, max_points=args.points,
-        polish_iters=0)
-
-    @jax.jit
-    def p_refine(p3, p2, w, keys):
-        R, t, ok, n = jax.vmap(
-            lambda a, b2, ww, k: pnp.ransac_pnp(a, b2, ww, K, k,
-                                                cfg_nopolish))(
-            p3, p2, w, keys)
-        return jnp.sum(R) + jnp.sum(n)
-
-    progs = [("sample", p_sample), ("+hyp_epnp", p_hyp),
-             ("+score", p_score), ("+refine", p_refine),
-             ("full(+polish)", p_full)]
+    on_tpu = jax.default_backend() == "tpu"
+    progs = [("prepare", p_prepare),
+             ("+hyp_jnp", make_hyp(False)),
+             ("full_jnp", make_full(False))]
+    if on_tpu:
+        progs += [("+hyp_pallas", make_hyp(True)),
+                  ("full_pallas", make_full(True))]
 
     report = {}
     for b in args.batches:
         inputs = make_inputs(b)
         times = {}
-        prev = 0.0
         for name, fn in progs:
             dt = timeit(fn, inputs)
-            times[name] = {"total_ms": round(dt * 1e3, 2),
-                           "delta_ms": round((dt - prev) * 1e3, 2)}
-            prev = dt
+            times[name] = round(dt * 1e3, 2)
         report[b] = times
-        print(f"b{b}: " + "  ".join(
-            f"{k}={v['total_ms']}({v['delta_ms']})"
-            for k, v in times.items()), flush=True)
+        print(f"b{b}: " + "  ".join(f"{k}={v}" for k, v in times.items()),
+              flush=True)
     print(json.dumps(report))
 
 

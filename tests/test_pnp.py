@@ -106,6 +106,26 @@ def test_ransac_with_outliers_matches_cv2_quality():
     assert _rot_err_deg(np.asarray(Re), R) < _rot_err_deg(Rc, R) + 1.0
 
 
+def test_ransac_subset_non_divisible_point_count():
+    """P not a multiple of max_points: the block subset pads with
+    zero-weight points instead of silently skipping the bound."""
+    rng = np.random.default_rng(14)
+    pts = _object_points(rng, 600)
+    R, t = _random_pose(rng)
+    uv = np.array(project_points(jnp.asarray(pts), jnp.asarray(R),
+                                 jnp.asarray(t), jnp.asarray(K)))
+    uv += rng.normal(scale=0.3, size=uv.shape)
+    w = np.ones(600, np.float32)
+    cfg = PnPConfig(n_hypotheses=32, max_points=256)  # 600 -> pad 768
+    Re, te, ok, n_in = ransac_pnp(
+        jnp.asarray(pts), jnp.asarray(uv.astype(np.float32)),
+        jnp.asarray(w), jnp.asarray(K), jax.random.PRNGKey(3), cfg)
+    assert bool(ok)
+    assert int(n_in) > 150          # bounded by the 256-point subset
+    assert _rot_err_deg(np.asarray(Re), R) < 1.0
+    assert np.linalg.norm(np.asarray(te) - t) < 5.0
+
+
 def test_ransac_empty_mask_fails_gracefully():
     pts = np.zeros((64, 3), np.float32)
     uv = np.zeros((64, 2), np.float32)

@@ -177,7 +177,7 @@ def main(argv=None):
             cfg, args.obj_name, out, variant=args.variant,
             pretrained_backbone=(None if args.from_scratch
                                  else args.pretrained_backbone),
-            bf16=args.bf16, gamma=args.gamma,
+            bf16=args.bf16, gamma=args.gamma, log_freq=args.log_freq,
             cache_images=args.cache_images,
             device_cache=(args.input_mode == "device_cache"),
             device_prefetch=(args.input_mode == "prefetch"))

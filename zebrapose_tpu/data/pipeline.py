@@ -508,16 +508,20 @@ class DevicePrefetchIterator:
         self._stop = threading.Event()
 
         def worker():
-            while not self._stop.is_set():
-                raw = next(inner)
-                feed = {k: raw[k] for k in keys}
-                batch = shard_batch(mesh, feed)
+            try:
                 while not self._stop.is_set():
-                    try:
-                        self._q.put(batch, timeout=1.0)
-                        break
-                    except queue.Full:
-                        continue
+                    raw = next(inner)
+                    feed = {k: raw[k] for k in keys}
+                    batch = shard_batch(mesh, feed)
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(batch, timeout=1.0)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as e:  # propagate to the consumer —
+                # a silently dead worker would hang __next__ forever
+                self._q.put(e)
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
@@ -526,7 +530,10 @@ class DevicePrefetchIterator:
         return self
 
     def __next__(self):
-        return self._q.get()
+        item = self._q.get()
+        if isinstance(item, BaseException):
+            raise item
+        return item
 
     def close(self):
         self._stop.set()

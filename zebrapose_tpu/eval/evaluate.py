@@ -159,16 +159,29 @@ def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
     import threading
 
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
+    stop = threading.Event()
+
+    def _put(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=1.0)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def producer():
         try:
             for start in range(0, n, batch_size):
+                if stop.is_set():
+                    return
                 idx = list(range(start, min(start + batch_size, n)))
                 raw = _pad_to(dataset.collate(idx), batch_size)
-                q.put((start, len(idx), raw))
-            q.put(None)
+                if not _put((start, len(idx), raw)):
+                    return
+            _put(None)
         except BaseException as e:  # propagate to the consumer
-            q.put(e)
+            _put(e)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -186,25 +199,38 @@ def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
             code_list.extend(np.asarray(out[pos])[:m])
 
     pending = None
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        start, m, raw = item
-        feed = {k: raw[k] for k in ("rgb", "label", "mask", "entire_mask",
-                                    "roi_param", "valid")}
-        out = eval_step(
-            feed, jnp.asarray(raw["final_bbox"].astype(np.int32)),
-            jnp.asarray(raw["K"]), jax.random.fold_in(key, start),
-            {} if variables is None else variables)
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            start, m, raw = item
+            feed = {k: raw[k] for k in ("rgb", "label", "mask",
+                                        "entire_mask", "roi_param",
+                                        "valid")}
+            out = eval_step(
+                feed, jnp.asarray(raw["final_bbox"].astype(np.int32)),
+                jnp.asarray(raw["K"]), jax.random.fold_in(key, start),
+                {} if variables is None else variables)
+            if pending is not None:
+                consume(*pending)
+            pending = (start, m, out)
         if pending is not None:
             consume(*pending)
-        pending = (start, m, out)
-    if pending is not None:
-        consume(*pending)
-    thread.join()
+        thread.join()
+    except BaseException:
+        # stop and unblock the producer so the daemon thread (and its
+        # collated batches) don't outlive this call
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue_mod.Empty:
+            pass
+        thread.join(timeout=10.0)
+        raise
     result = (Rs, ts, ok)
     if collect_masks:
         result = result + (np.array(vis_masks), np.array(ent_masks))

@@ -449,10 +449,18 @@ def _ransac_prepare(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
     # (+20 ms/b128). Tiny masks spanning fewer than min_points blocks
     # lose solvability vs an exact compaction, but < 6-block masks are
     # degenerate for pose anyway.
-    if P > cfg.max_points and P % cfg.max_points == 0:
-        blk = P // cfg.max_points
+    if P > cfg.max_points:
+        blk = -(-P // cfg.max_points)
+        if P % cfg.max_points:
+            # pad to a whole number of blocks with zero-weight points —
+            # never selected over real foreground, harmless if a block
+            # is all padding (its representative has sub_w = 0)
+            pad = cfg.max_points * blk - P
+            pts3d = jnp.pad(pts3d, ((0, pad), (0, 0)))
+            pts2d = jnp.pad(pts2d, ((0, pad), (0, 0)))
+            w = jnp.pad(w, (0, pad))
         prio = w + w * jax.random.uniform(jax.random.fold_in(key, 3),
-                                          (P,), minval=0.0, maxval=0.5)
+                                          w.shape, minval=0.0, maxval=0.5)
         rep = jnp.argmax(prio.reshape(cfg.max_points, blk), axis=-1)
         # extract the representatives as a one-hot block reduction, not a
         # gather (XLA gathers are the slow op class on TPU)
@@ -669,7 +677,8 @@ def decode_to_pose_batch(masks: jnp.ndarray, codes: jnp.ndarray,
         Rs, ts = minimal_epnp_hypotheses(
             samp3d.reshape(B * H, cfg.sample_size, 3),
             samp2d.reshape(B * H, cfg.sample_size, 2),
-            Ks_flat, cfg.gn_iters, use_kernel=use_kernel)
+            Ks_flat, cfg.gn_iters, use_kernel=use_kernel,
+            fast=cfg.fast_linalg)
         Rs = Rs.reshape(B, H, 3, 3)
         ts = ts.reshape(B, H, 3)
 

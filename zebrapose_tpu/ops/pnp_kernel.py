@@ -394,7 +394,8 @@ def _kernel(p3_ref, p2_ref, cam_ref, R_ref, t_ref, *, gn_iters: int):
 def minimal_epnp_hypotheses(samp3d: jnp.ndarray, samp2d: jnp.ndarray,
                             Ks: jnp.ndarray, gn_iters: int = 5,
                             use_kernel: bool = None,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            fast: bool = True):
     """N independent minimal-set EPnP solves.
 
     samp3d [N, 6, 3], samp2d [N, 6, 2], Ks [N, 3, 3] (f32).
@@ -402,16 +403,20 @@ def minimal_epnp_hypotheses(samp3d: jnp.ndarray, samp2d: jnp.ndarray,
 
     use_kernel=None -> pallas on TPU, vmapped jnp elsewhere. The two
     paths implement the same algorithm (see module docstring) and agree
-    to float32 tolerance.
+    to float32 tolerance. fast=False (exact eigh/svd small linalg)
+    exists only in the jnp path, so it forces the fallback.
     """
     from zebrapose_tpu.ops.pnp import epnp
 
+    if not fast:
+        use_kernel = False
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     n = samp3d.shape[0]
     if not use_kernel:
         ones = jnp.ones((n, S), samp3d.dtype)
-        return jax.vmap(lambda a, b, w, K: epnp(a, b, w, K, gn_iters))(
+        return jax.vmap(lambda a, b, w, K: epnp(a, b, w, K, gn_iters,
+                                                fast))(
             samp3d, samp2d, ones, Ks)
 
     from jax.experimental import pallas as pl

@@ -47,16 +47,18 @@ def make_lr_schedule(base_lr: float, gamma: float = 1.0,
     return schedule
 
 
-def make_optimizer(learning_rate: float, gamma: float = 1.0
+def make_optimizer(learning_rate: float, gamma: float = 1.0,
+                   log_freq: int = 1000
                    ) -> optax.GradientTransformation:
     """Adam with the reference defaults (torch optim.Adam: b1=0.9,
     b2=0.999, eps=1e-8) and the StepLR-equivalent schedule."""
-    return optax.adam(make_lr_schedule(learning_rate, gamma))
+    return optax.adam(make_lr_schedule(learning_rate, gamma, log_freq))
 
 
 def create_train_state(model, variables: dict, learning_rate: float,
-                       n_bits: int = 16, gamma: float = 1.0) -> TrainState:
-    tx = make_optimizer(learning_rate, gamma)
+                       n_bits: int = 16, gamma: float = 1.0,
+                       log_freq: int = 1000) -> TrainState:
+    tx = make_optimizer(learning_rate, gamma, log_freq)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],

@@ -156,7 +156,11 @@ def fit(res: TrainResources, log_freq: int = 1000,
             base=cfg.divide_number_each_itration,
             n_bits=cfg.number_of_itration,
             resize_method=cfg.resize_method,
-            loss_type=cfg.BinaryCode_Loss_Type, pnp_cfg=res.pnp_cfg)
+            loss_type=cfg.BinaryCode_Loss_Type, pnp_cfg=res.pnp_cfg,
+            # inference consumes only batch["image"]; skipping the GT
+            # label/mask crops avoids their interpolation matrices
+            # (eede0aa: a measured b64/b128 preprocess regression)
+            preprocess_gt=False)
 
     key = jax.random.PRNGKey(0)
     best = float(jax.device_get(state.best_score))
@@ -317,6 +321,7 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
                       max_val_samples: int = 512,
                       bf16: bool = False,
                       gamma: float = 1.0,
+                      log_freq: int = 1000,
                       cache_images: bool = False,
                       device_cache: bool = False,
                       device_prefetch: bool = False) -> TrainResources:
@@ -326,7 +331,9 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
     (default: search known locations and FAIL if absent — the reference
     always trains from ImageNet weights), or None to train from scratch.
     gamma: StepLR decay per 10 validation cadences (1.0 = train_v2/v5
-    recipe, 0.7 = train_v3 recipe).
+    recipe, 0.7 = train_v3 recipe). log_freq must match fit()'s so the
+    decay cadence tracks the validation cadence (the reference calls
+    scheduler.step() once per log event, train_v2.py:333).
     device_cache: upload the full training split's pixels to device HBM
     once and feed the train loop indices only (DeviceDatasetCache) —
     for splits that fit (~2.4 MB/sample); removes the per-step raw-frame
@@ -425,7 +432,8 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
     local_batch = cfg.batch_size // n_proc if n_proc > 1 else \
         cfg.batch_size
     state = create_train_state(model, variables, learning_rate=lr,
-                               n_bits=cfg.number_of_itration, gamma=gamma)
+                               n_bits=cfg.number_of_itration, gamma=gamma,
+                               log_freq=log_freq)
 
     ckpt = CheckpointManager(os.path.join(output_dir, "checkpoints"))
     if cfg.load_checkpoint:
