@@ -399,6 +399,55 @@ def test_write_cvs_matches_reference(tmp_path):
         (ref_dir / "obj.csv").read_text()
 
 
+# -------------------------------------------- symmetry canonicalization
+
+def _import_ref_labelgen():
+    """The label-gen driver imports the `Render` GL extension and a
+    path-hacked `bop_io` at module level; both are irrelevant to
+    modified_gt_for_symmetry (pure numpy), so stub them."""
+    sys.modules.setdefault("Render", types.ModuleType("Render"))
+    sys.modules.setdefault("bop_io", types.ModuleType("bop_io"))
+    gen_dir = "/root/reference/Binary_Code_GT_Generator"
+    if gen_dir not in sys.path:
+        sys.path.append(gen_dir)
+    import generate_training_labels_for_BOP_v2 as m
+    return m
+
+
+def _random_rotation(rng):
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    return q
+
+
+@pytest.mark.parametrize("model_info", [
+    {"symmetries_continuous": [{"axis": [0, 0, 1], "offset": [0, 0, 0]}]},
+    {"symmetries_continuous": [{"axis": [0, 1, 0], "offset": [0, 0, 0]}]},
+    {"symmetries_continuous": [{"axis": [1, 0, 0], "offset": [0, 0, 0]}]},
+    {"symmetries_discrete": [
+        [-1, 0, 0, 0, 0, -1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1],
+        [0, -1, 0, 2.5, 1, 0, 0, -1.0, 0, 0, 1, 0, 0, 0, 0, 1]]},
+    {"symmetries_continuous": [{"axis": [0, 0, 1], "offset": [0, 0, 0]}],
+     "symmetries_discrete": [
+        [-1, 0, 0, 0, 0, -1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1]]},
+    {},
+], ids=["cont-z", "cont-y", "cont-x", "discrete", "both", "none"])
+def test_symmetry_canonicalization_matches_reference(model_info):
+    from zebrapose_tpu.tools.symmetry import canonicalize_pose
+
+    ref = _import_ref_labelgen()
+    rng = np.random.default_rng(30)
+    for _ in range(20):
+        R = _random_rotation(rng)
+        t = rng.uniform(-50, 600, (3, 1))
+        Rr, tr = ref.modified_gt_for_symmetry(R.copy(), t.copy(),
+                                              dict(model_info))
+        Ro, to = canonicalize_pose(R, t, dict(model_info))
+        np.testing.assert_allclose(Ro, Rr, atol=1e-9)
+        np.testing.assert_allclose(to, tr, atol=1e-9)
+
+
 # ---------------------------------------------------- model forward parity
 
 def _forward_parity(ref_net, variant, atol=2e-4):
