@@ -253,6 +253,44 @@ def test_device_prefetch_matches_inner(tmp_path):
     assert not inner._thread.is_alive()
 
 
+def test_device_prefetch_propagates_worker_errors(tmp_path):
+    """A failing wrapped iterator must surface in __next__, not hang the
+    consumer forever (the worker used to die silently)."""
+    from zebrapose_tpu.data.pipeline import DevicePrefetchIterator
+    from zebrapose_tpu.parallel.mesh import make_mesh
+
+    class Boom:
+        def __next__(self):
+            raise RuntimeError("corrupt sample")
+
+    pref = DevicePrefetchIterator(Boom(), make_mesh())
+    try:
+        with pytest.raises(RuntimeError, match="corrupt sample"):
+            next(pref)
+    finally:
+        pref.close()
+
+
+def test_run_inference_consumer_failure_stops_producer(tmp_path):
+    """If the eval step raises, run_inference must re-raise AND stop its
+    producer thread (no leaked daemon blocked on the bounded queue)."""
+    import threading
+
+    from zebrapose_tpu.eval.evaluate import run_inference
+
+    ds = _mk_ds(tmp_path, is_train=False)
+    before = set(threading.enumerate())
+
+    def bad_step(feed, bbox, K, key, variables):
+        raise RuntimeError("device exploded")
+
+    with pytest.raises(RuntimeError, match="device exploded"):
+        run_inference(ds, bad_step, batch_size=2)
+    leaked = [t for t in threading.enumerate()
+              if t not in before and t.is_alive()]
+    assert not leaked, leaked
+
+
 def test_cached_iterator_mixed_ratio(tmp_path):
     from zebrapose_tpu.data.pipeline import (CachedBatchIterator,
                                              DeviceDatasetCache)
