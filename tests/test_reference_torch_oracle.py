@@ -399,6 +399,20 @@ def test_write_cvs_matches_reference(tmp_path):
         (ref_dir / "obj.csv").read_text()
 
 
+# ------------------------------------------------------ fibonacci sphere
+
+def test_fibonacci_sphere_matches_reference():
+    import matplotlib
+    matplotlib.use("Agg")  # the reference module imports pyplot
+    ref_fib = pytest.importorskip("fibonacci_sphere")
+    from zebrapose_tpu.tools.fibonacci_code import fibonacci_sphere
+
+    for n in (10, 500):
+        np.testing.assert_allclose(fibonacci_sphere(n),
+                                   ref_fib.fibonacci_sphere(n),
+                                   atol=1e-12)
+
+
 # -------------------------------------------- symmetry canonicalization
 
 def _import_ref_labelgen():

@@ -16,12 +16,15 @@ import numpy as np
 
 
 def fibonacci_sphere(n: int) -> np.ndarray:
-    """[n, 3] quasi-uniform unit-sphere samples (golden-angle spiral)."""
+    """[n, 3] quasi-uniform unit-sphere samples (golden-angle spiral).
+
+    Exactly the reference's formula (fibonacci_sphere.py:7-18):
+    z = 1 - 2i/(n-1) (poles included), theta = golden-angle * i."""
     i = np.arange(n, dtype=np.float64)
-    phi = np.pi * (3.0 - np.sqrt(5.0)) * i
-    y = 1.0 - 2.0 * (i + 0.5) / n
-    r = np.sqrt(np.maximum(1.0 - y * y, 0.0))
-    return np.stack([r * np.cos(phi), y, r * np.sin(phi)], axis=1)
+    theta = np.pi * (3.0 - np.sqrt(5.0)) * i
+    z = 1.0 - 2.0 * i / (n - 1)
+    r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+    return np.stack([r * np.cos(theta), r * np.sin(theta), z], axis=1)
 
 
 def locality_cost(codes: np.ndarray, neighbors: np.ndarray) -> float:
