@@ -405,10 +405,15 @@ def minimal_epnp_hypotheses(samp3d: jnp.ndarray, samp2d: jnp.ndarray,
     paths implement the same algorithm (see module docstring) and agree
     to float32 tolerance. fast=False (exact eigh/svd small linalg)
     exists only in the jnp path, so it forces the fallback.
+    ZEBRAPOSE_NO_PALLAS=1 disables the kernel globally (escape hatch
+    for platforms where Mosaic misbehaves — the jnp path is always
+    available).
     """
+    import os
+
     from zebrapose_tpu.ops.pnp import epnp
 
-    if not fast:
+    if not fast or os.environ.get("ZEBRAPOSE_NO_PALLAS"):
         use_kernel = False
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
