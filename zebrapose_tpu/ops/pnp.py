@@ -8,8 +8,14 @@ is a fixed-shape JAX program:
 
   * correspondences: predicted code planes -> class ids -> one `take`
     gather from the dense LUT; every pixel participates with weight =
-    foreground mask instead of `nonzero()` (no ragged shapes, and the
-    refine stages see all foreground pixels like the reference does).
+    foreground mask instead of `nonzero()` (no ragged shapes). Whenever
+    P > cfg.max_points (e.g. the default 128x128 decode grid), ALL
+    stages — sampling, scoring, refine, polish, the success gate and
+    the reported n_inliers — operate on a <= max_points subset built by
+    drawing one random foreground representative per contiguous raster
+    block, i.e. uniform over foreground *blocks*, not foreground
+    pixels as in cv2.solvePnPRansac (subset-relative n_inliers is
+    documented in PARITY.md).
   * hypotheses: `n_hypotheses` minimal 6-point sets sampled with
     `jax.random.categorical` over foreground weights, each solved by a
     vmapped weighted EPnP (beta cases N=1,2,3 + Gauss-Newton on betas,
@@ -446,9 +452,10 @@ def _ransac_prepare(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
     # containing foreground contributes one pixel), spatially spread for
     # dense ones, and shape-static — unlike the previous top_k sort
     # (~15 ms/b128 at P=128^2 on v5e) or full-P refine/polish
-    # (+20 ms/b128). Tiny masks spanning fewer than min_points blocks
-    # lose solvability vs an exact compaction, but < 6-block masks are
-    # degenerate for pose anyway.
+    # (+20 ms/b128). Accepted edge-case regression: a mask whose >=6
+    # foreground pixels fall in fewer than min_points of these
+    # row-contiguous 1xblk strips yields < 6 representatives and
+    # hard-fails where the old exact top-k compaction solved it.
     if P > cfg.max_points:
         blk = -(-P // cfg.max_points)
         if P % cfg.max_points:

@@ -33,11 +33,19 @@ solves replacing cv2.solvePnPRansac's per-iteration EPnP
 
 from __future__ import annotations
 
+import os
 from functools import partial, reduce
 from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
+
+# Read once at import: the flag is consulted at TRACE time inside jitted
+# callers (decode_to_pose_batch), so flipping the env var mid-process
+# would have no effect on already-compiled executables anyway. Snapshot
+# it here to make the semantics explicit: set ZEBRAPOSE_NO_PALLAS before
+# the process imports zebrapose_tpu, not between calls.
+NO_PALLAS = bool(os.environ.get("ZEBRAPOSE_NO_PALLAS"))
 
 SUB, LANE = 8, 128
 TILE = SUB * LANE          # hypotheses per kernel instance
@@ -407,13 +415,13 @@ def minimal_epnp_hypotheses(samp3d: jnp.ndarray, samp2d: jnp.ndarray,
     exists only in the jnp path, so it forces the fallback.
     ZEBRAPOSE_NO_PALLAS=1 disables the kernel globally (escape hatch
     for platforms where Mosaic misbehaves — the jnp path is always
-    available).
+    available). The variable is snapshotted at import (module constant
+    NO_PALLAS): set it before the process first imports zebrapose_tpu;
+    toggling it later has no effect on compiled executables.
     """
-    import os
-
     from zebrapose_tpu.ops.pnp import epnp
 
-    if not fast or os.environ.get("ZEBRAPOSE_NO_PALLAS"):
+    if not fast or NO_PALLAS:
         use_kernel = False
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
