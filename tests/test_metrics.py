@@ -83,3 +83,55 @@ def test_auc_posecnn_reference_behavior():
     assert 0.9 < good <= 1.0
     mixed = auc_posecnn(np.array([0.001, 0.05, 0.5]))
     assert 0.0 < mixed < good
+
+
+def test_pose_errors_batched_matches_per_sample():
+    """pose_errors (chunked batch programs, one fetch per chunk) must
+    equal the per-sample add/adi computation, across failures, missing
+    GT, chunk-boundary padding, and both symmetric modes."""
+    from zebrapose_tpu.eval.evaluate import pose_errors
+    from zebrapose_tpu.ops.metrics import add_error, adi_error
+
+    rng = np.random.default_rng(33)
+    n = 11
+    verts = rng.uniform(-40, 40, (200, 3)).astype(np.float32)
+
+    def rot():
+        q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        return q.astype(np.float32)
+
+    Rs = np.stack([rot() for _ in range(n)])
+    ts = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    ok = np.ones((n,), bool)
+    ok[2] = False
+    gts = []
+    for i in range(n):
+        gts.append({"cam_R_m2c": rot(),
+                    "cam_t_m2c": rng.uniform(-10, 10, 3).astype(
+                        np.float32)})
+    gts[5] = None
+
+    class FakeDS:
+        def __init__(self):
+            self.gts = gts
+
+        def __len__(self):
+            return n
+
+    ds = FakeDS()
+
+    for symmetric in (False, True):
+        got = pose_errors(ds, Rs, ts, ok, verts, symmetric, chunk=4)
+        err_fn = adi_error if symmetric else add_error
+        for i in range(n):
+            if not ok[i] or gts[i] is None:
+                assert got[i] == 10000.0
+            else:
+                want = float(err_fn(
+                    jnp.asarray(Rs[i]), jnp.asarray(ts[i]),
+                    jnp.asarray(gts[i]["cam_R_m2c"]),
+                    jnp.asarray(gts[i]["cam_t_m2c"]), jnp.asarray(verts)))
+                np.testing.assert_allclose(got[i], want, rtol=2e-5,
+                                           atol=1e-4)

@@ -218,3 +218,33 @@ def test_run_test_debug_and_refine_path(bop_tree, tmp_path):
     assert grid.shape == (64 * 4, 64 * 4, 3)
     assert os.path.exists(os.path.join(out_dir, "pose_result_bop",
                                        "lmo_ape.csv"))
+
+
+def test_run_test_empty_split_refine_no_crash(bop_tree, tmp_path):
+    """A split with no usable samples (GT-less scenes are skipped by the
+    walker) must return cleanly through the refine path instead of
+    IndexError-ing on the image-size probe (dataset.rgb_files[0])."""
+    bop_path, det_path = bop_tree
+    scene = os.path.join(bop_path, "lmo", "test", "000002")
+    os.remove(os.path.join(scene, "scene_gt.json"))
+
+    torch.manual_seed(4)
+    net = ReferenceNet(variant="v2", code_len=16)
+    ckpt_path = str(tmp_path / "ckpt_empty.pth")
+    torch.save({"model_state_dict": net.state_dict()}, ckpt_path)
+    cfg = ZebraConfig.from_dict({
+        "bop_path": bop_path, "dataset_name": "lmo",
+        "test_folder": "test", "Detection_reaults": det_path,
+        "BoundingBox_CropSize_image": 128,
+        "BoundingBox_CropSize_GT": 64,
+        "divide_number_each_itration": 2, "number_of_itration": 16,
+        "refine": True,
+    })
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        metrics = run_test(cfg, "ape", ckpt_path,
+                           str(tmp_path / "out_empty"), batch_size=3,
+                           pnp_cfg=PnPConfig(n_hypotheses=16,
+                                             max_points=512))
+    assert metrics["ADD_recall_0.1d"] == 0.0

@@ -239,28 +239,58 @@ def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
     return result
 
 
+@jax.jit
+def _batched_add(Re, te, Rg, tg, v):
+    return jax.vmap(lambda a, b, c, d: add_error(a, b, c, d, v))(
+        Re, te, Rg, tg)
+
+
+@jax.jit
+def _batched_adi(Re, te, Rg, tg, v):
+    return jax.vmap(lambda a, b, c, d: adi_error(a, b, c, d, v))(
+        Re, te, Rg, tg)
+
+
 def pose_errors(dataset: CropDatasetHost, Rs, ts, ok,
                 vertices: np.ndarray, symmetric: bool,
-                chunk: int = 512) -> np.ndarray:
+                chunk: int = 256) -> np.ndarray:
     """Per-sample ADD (or ADD-S if symmetric); 10000 on failure
-    (test.py:465-476)."""
+    (test.py:465-476).
+
+    Batched: all successful samples are stacked and evaluated `chunk`
+    poses per device program with ONE host fetch each — the previous
+    per-sample `float()` fetch paid one tunnel RTT (2-35 ms) per image,
+    i.e. seconds of pure RTT per 512-sample validation, 380 times per
+    training run. ADI's pairwise-distance min holds chunk*512*V floats
+    live, so its pose chunk is capped to bound memory.
+    """
     n = len(dataset)
     errs = np.full((n,), 10000.0, np.float64)
-    v = jnp.asarray(vertices.astype(np.float32))
-    err_fn = adi_error if symmetric else jax.jit(add_error)
-    for i in range(n):
-        if not ok[i]:
-            continue
-        gt = dataset.gts[i]
-        if gt is None:
-            continue
-        e = float(err_fn(jnp.asarray(Rs[i]), jnp.asarray(ts[i]),
-                         jnp.asarray(np.asarray(gt["cam_R_m2c"],
-                                                np.float32)),
-                         jnp.asarray(np.asarray(gt["cam_t_m2c"],
-                                                np.float32).reshape(3)),
-                         v))
-        errs[i] = 10000.0 if np.isnan(e) else e
+    idx = np.array([i for i in range(n)
+                    if ok[i] and dataset.gts[i] is not None], np.int64)
+    if idx.size == 0:
+        return errs
+    v = jnp.asarray(np.asarray(vertices, np.float32))
+    if symmetric:
+        # bound the [chunk, 512, V] distance block to ~256 MB
+        chunk = max(1, min(chunk, (2 ** 27) // (512 * max(v.shape[0], 1))))
+    err_fn = _batched_adi if symmetric else _batched_add
+    Re = np.asarray(Rs, np.float32)[idx]
+    te = np.asarray(ts, np.float32)[idx]
+    Rg = np.stack([np.asarray(dataset.gts[i]["cam_R_m2c"],
+                              np.float32).reshape(3, 3) for i in idx])
+    tg = np.stack([np.asarray(dataset.gts[i]["cam_t_m2c"],
+                              np.float32).reshape(3) for i in idx])
+    out = np.empty(idx.size, np.float64)
+    for s in range(0, idx.size, chunk):
+        m = min(chunk, idx.size - s)
+        pad = [(0, chunk - m)] + [(0, 0)]  # fixed shape: one compile
+        e = err_fn(jnp.asarray(np.pad(Re[s:s + m], pad + [(0, 0)])),
+                   jnp.asarray(np.pad(te[s:s + m], pad)),
+                   jnp.asarray(np.pad(Rg[s:s + m], pad + [(0, 0)])),
+                   jnp.asarray(np.pad(tg[s:s + m], pad)), v)
+        out[s:s + m] = np.asarray(e, np.float64)[:m]
+    errs[idx] = np.where(np.isnan(out), 10000.0, out)
     return errs
 
 

@@ -216,7 +216,7 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
             Rs, ts, ok, vis_masks, ent_masks, pred_codes = out
         else:
             Rs, ts, ok, vis_masks, ent_masks = out
-        if cfg.refine and "faces" in mesh:
+        if cfg.refine and "faces" in mesh and len(dataset) > 0:
             im_size = (samples.cam_param_global or {}).get("im_size")
             if im_size is None:
                 # No global camera file: read the true size off the first
