@@ -108,3 +108,72 @@ def test_model_cost_cli(capsys):
     # unavailable on a backend)
     assert 25 < res["params_M"] < 40
     assert res["flops_G"] > 0.1 or res["flops_G"] != res["flops_G"]
+
+
+def test_cli_test_creates_timestamped_eval_dir(tmp_path, monkeypatch):
+    """Reference test.py:589-602 artifact parity: the CLI `test` command
+    must create a timestamped run dir under --output_dir containing
+    config.txt (full effective config, start/end markers) and log.txt
+    capturing the run's stdout (tee)."""
+    import zebrapose_tpu.eval.runner as runner_mod
+
+    def fake_run_test(cfg, obj_name, ckpt_file, output_dir, **kw):
+        print("fake-run-output-marker")
+        with open(os.path.join(output_dir, "log.txt"), "a") as f:
+            f.write("ADD_recall_0.1d 0.5\n")
+        return {"ADD_recall_0.1d": 0.5}
+
+    monkeypatch.setattr(runner_mod, "run_test", fake_run_test)
+    cfg_path = tmp_path / "cfg.txt"
+    cfg_path.write_text("\n".join([
+        "bop_path = /data/bop",
+        "dataset_name = lmo",
+        "test_folder = test",
+        "Detection_reaults = none",
+        "BoundingBox_CropSize_image = 128",
+        "BoundingBox_CropSize_GT = 64",
+        "divide_number_each_itration = 2",
+        "number_of_itration = 16",
+    ]) + "\n")
+    out_root = str(tmp_path / "eval_out")
+    rc = main(["test", "--cfg", str(cfg_path), "--obj_name", "ape",
+               "--ckpt_file", "/nonexistent.pth", "--output_dir",
+               out_root])
+    assert rc == 0
+    runs = os.listdir(out_root)
+    assert len(runs) == 1  # one timestamped dir per run
+    run_dir = os.path.join(out_root, runs[0])
+    conf = open(os.path.join(run_dir, "config.txt")).read()
+    assert conf.startswith("------------------ start ------------------")
+    assert conf.endswith("------------------- end -------------------")
+    assert "obj_name : ape" in conf
+    assert "dataset_name : lmo" in conf
+    assert "checkpoint_file : /nonexistent.pth" in conf
+    assert "ignore_bit : 0" in conf
+    log = open(os.path.join(run_dir, "log.txt")).read()
+    assert "fake-run-output-marker" in log       # teed stdout
+    assert "ADD_recall_0.1d 0.5" in log          # runner's own append
+    assert f"eval run dir: {run_dir}" in log
+
+
+def test_cli_vivo_creates_timestamped_eval_dir(tmp_path, monkeypatch):
+    import zebrapose_tpu.eval.runner_vivo as vivo_mod
+
+    def fake_run_vivo(cfg, obj_name, ckpt_file, output_dir, **kw):
+        print("vivo-marker")
+        return {"instances": 0}
+
+    monkeypatch.setattr(vivo_mod, "run_vivo", fake_run_vivo)
+    cfg_path = tmp_path / "cfg.txt"
+    cfg_path.write_text("dataset_name = tless\n")
+    out_root = str(tmp_path / "vivo_out")
+    rc = main(["vivo", "--cfg", str(cfg_path), "--obj_name", "obj01",
+               "--ckpt_file", "x.pth", "--output_dir", out_root])
+    assert rc == 0
+    runs = os.listdir(out_root)
+    assert len(runs) == 1
+    run_dir = os.path.join(out_root, runs[0])
+    assert "command : vivo" in open(
+        os.path.join(run_dir, "config.txt")).read()
+    assert "vivo-marker" in open(
+        os.path.join(run_dir, "log.txt")).read()

@@ -187,25 +187,38 @@ def main(argv=None):
         print(f"best val recall: {best}")
         return 0
 
-    if args.command == "test":
-        from zebrapose_tpu.eval.runner import run_test
-        from zebrapose_tpu.utils.profiling import profile_trace
-        with profile_trace(args.profile):
-            metrics = run_test(
-                cfg, args.obj_name, args.ckpt_file, args.output_dir,
-                ignore_bit=args.ignore_bit, variant=args.variant,
-                debug=args.debug, batch_size=args.batch_size,
-                max_samples=args.max_samples, mask_rcnn=args.mask_rcnn)
-        print(json.dumps(metrics, indent=2))
-        return 0
-
-    if args.command == "vivo":
-        from zebrapose_tpu.eval.runner_vivo import run_vivo
-        metrics = run_vivo(
-            cfg, args.obj_name, args.ckpt_file, args.output_dir,
-            variant=args.variant, score_threshold=args.score_threshold,
-            batch_size=args.batch_size, mask_rcnn=args.mask_rcnn)
-        print(json.dumps(metrics, indent=2))
+    if args.command in ("test", "vivo"):
+        # Reference test.py:589-602: each eval run gets a timestamped
+        # dir under eval_output_path with the full effective config in
+        # config.txt and stdout/stderr captured into log.txt.
+        from zebrapose_tpu.utils.logging import TeeOutput, prepare_eval_dir
+        items = dict(cfg.to_dict())
+        items.update({"obj_name": args.obj_name,
+                      "checkpoint_file": args.ckpt_file,
+                      "command": args.command})
+        if args.command == "test":
+            items["ignore_bit"] = args.ignore_bit
+        run_dir = prepare_eval_dir(args.output_dir, items)
+        with TeeOutput(os.path.join(run_dir, "log.txt")):
+            print(f"eval run dir: {run_dir}")
+            if args.command == "test":
+                from zebrapose_tpu.eval.runner import run_test
+                from zebrapose_tpu.utils.profiling import profile_trace
+                with profile_trace(args.profile):
+                    metrics = run_test(
+                        cfg, args.obj_name, args.ckpt_file, run_dir,
+                        ignore_bit=args.ignore_bit, variant=args.variant,
+                        debug=args.debug, batch_size=args.batch_size,
+                        max_samples=args.max_samples,
+                        mask_rcnn=args.mask_rcnn)
+            else:
+                from zebrapose_tpu.eval.runner_vivo import run_vivo
+                metrics = run_vivo(
+                    cfg, args.obj_name, args.ckpt_file, run_dir,
+                    variant=args.variant,
+                    score_threshold=args.score_threshold,
+                    batch_size=args.batch_size, mask_rcnn=args.mask_rcnn)
+            print(json.dumps(metrics, indent=2))
         return 0
 
     if args.command == "generate-labels":
