@@ -82,3 +82,34 @@ def test_sharded_train_step_runs_and_learns():
     assert out["entire_mask"].shape == (8, 16, 16, 1)
     # histogram is one global vector, not per-device copies
     assert state.histogram.shape == (16,)
+
+
+def test_shard_batch_multihost_branch_and_local_batch():
+    """The multi-host assembly branch (make_array_from_process_local_data)
+    and local-batch split are exercisable without a real multi-host job:
+    n_processes overrides process_count. In a single-process run the
+    local data IS the global batch, so the branch must produce the same
+    sharded global array as the device_put path."""
+    import pytest
+
+    from zebrapose_tpu.parallel.mesh import local_batch_size
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(41)
+    batch = _tiny_batch(rng, n=8, img=16, out=8)
+
+    a = shard_batch(mesh, batch)                    # device_put path
+    b = shard_batch(mesh, batch, n_processes=8)     # multi-host assembly
+    for k in batch:
+        assert b[k].shape == batch[k].shape
+        assert b[k].sharding.is_equivalent_to(a[k].sharding, b[k].ndim)
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        # really sharded: each device holds 1/8 of the batch axis
+        shard_shapes = {s.data.shape for s in b[k].addressable_shards}
+        assert shard_shapes == {(1,) + batch[k].shape[1:]}
+
+    assert local_batch_size(32) == 32               # single process
+    assert local_batch_size(32, n_processes=4) == 8
+    assert local_batch_size(32, n_processes=1) == 32
+    with pytest.raises(ValueError, match="divisible"):
+        local_batch_size(33, n_processes=4)

@@ -39,19 +39,40 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
+def shard_batch(mesh: Mesh, batch: Any,
+                n_processes: Optional[int] = None) -> Any:
     """Place a host batch dict onto the mesh, sharded over devices.
 
     Single-host: a plain device_put with the batch sharding. Multi-host
     (after jax.distributed.initialize): `batch` is this process's LOCAL
     shard and the global array is assembled across hosts — the
     DistributedSampler equivalent is each host drawing its own slice.
+
+    `n_processes` overrides jax.process_count() so the multi-host
+    assembly branch is exercisable in single-process tests (the
+    reference's multi-node path was untestable; ours is not).
     """
     sh = batch_sharding(mesh)
-    if jax.process_count() == 1:
+    n = jax.process_count() if n_processes is None else n_processes
+    if n == 1:
         return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(sh, x), batch)
+
+
+def local_batch_size(global_batch: int, n_processes: Optional[int] = None
+                     ) -> int:
+    """Per-process slice of the global batch (DistributedSampler
+    equivalent). Requires exact divisibility — a silent floor would
+    train on a smaller global batch than configured."""
+    n = jax.process_count() if n_processes is None else n_processes
+    if n <= 1:
+        return global_batch
+    if global_batch % n:
+        raise ValueError(
+            f"batch_size {global_batch} not divisible by process count "
+            f"{n}; the global batch must split evenly across hosts")
+    return global_batch // n
 
 
 def initialize_multihost(coordinator_address: str = None,

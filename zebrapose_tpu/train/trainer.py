@@ -42,6 +42,7 @@ from zebrapose_tpu.models.losses import CodeLossConfig
 from zebrapose_tpu.models.zebra_net import ZebraPoseNet
 from zebrapose_tpu.ops.pnp import PnPConfig
 from zebrapose_tpu.parallel.mesh import (
+    local_batch_size,
     make_mesh,
     replicate,
     scale_for_world,
@@ -428,9 +429,7 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
     # multi-host: each process feeds its local slice of the global batch
     # with a distinct sampling stream (DistributedSampler equivalent)
     import jax as _jax
-    n_proc = _jax.process_count()
-    local_batch = cfg.batch_size // n_proc if n_proc > 1 else \
-        cfg.batch_size
+    local_batch = local_batch_size(cfg.batch_size)
     state = create_train_state(model, variables, learning_rate=lr,
                                n_bits=cfg.number_of_itration, gamma=gamma,
                                log_freq=log_freq)
