@@ -1,0 +1,138 @@
+"""On-TPU Pallas parity gate (VERDICT r2 #6).
+
+The hypothesis kernel is pinned op-for-op to `jax.vmap(epnp)` in
+interpreter mode by tests/test_pnp_kernel.py, but the suite runs on CPU
+— a compiled-on-TPU divergence (Mosaic lowering, VMEM rounding, lane
+padding) would ship silently behind the ZEBRAPOSE_NO_PALLAS hatch. This
+script runs `minimal_epnp_hypotheses` BOTH ways on the real chip on
+identical minimal sets and asserts agreement, then does the same for
+the full `decode_to_pose_batch` program (kernel vs jnp hypothesis
+stage, same RANSAC stream).
+
+Run on the TPU:  python scripts/pallas_parity_gate.py
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from zebrapose_tpu.ops.pnp import PnPConfig, decode_to_pose_batch  # noqa: E402
+from zebrapose_tpu.ops.pnp_kernel import minimal_epnp_hypotheses  # noqa: E402
+
+assert jax.default_backend() not in ("cpu",), (
+    "this gate must run on the TPU (compiled Mosaic path); "
+    f"backend is {jax.default_backend()}")
+
+K = np.array([[572.4114, 0, 325.2611],
+              [0, 573.57043, 242.04899],
+              [0, 0, 1]], np.float32)
+rng = np.random.default_rng(5)
+
+
+def minimal_sets(n, noise):
+    pw = rng.uniform(-40, 40, (n, 6, 3)).astype(np.float32)
+    R0 = np.stack([np.linalg.qr(rng.normal(size=(3, 3)))[0]
+                   for _ in range(n)])
+    R0[np.linalg.det(R0) < 0] *= -1
+    t0 = np.concatenate([rng.uniform(-30, 30, (n, 2)),
+                         rng.uniform(450, 650, (n, 1))], -1)
+    pc = np.einsum("nij,npj->npi", R0, pw) + t0[:, None, :]
+    uv = np.stack([K[0, 0] * pc[..., 0] / pc[..., 2] + K[0, 2],
+                   K[1, 1] * pc[..., 1] / pc[..., 2] + K[1, 2]],
+                  -1).astype(np.float32)
+    uv += rng.normal(0, noise, uv.shape).astype(np.float32)
+    return pw, uv
+
+
+def rot_angle_deg(Ra, Rb):
+    tr = np.einsum("nij,nij->n", Ra, Rb)
+    return np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+
+
+def main():
+    n = 4096
+    worst_ang = worst_t = 0.0
+    for noise in (0.0, 0.5):
+        pw, uv = minimal_sets(n, noise)
+        Ks = jnp.asarray(np.tile(K[None], (n, 1, 1)))
+        Rk, tk = minimal_epnp_hypotheses(jnp.asarray(pw), jnp.asarray(uv),
+                                         Ks, use_kernel=True)
+        Rj, tj = minimal_epnp_hypotheses(jnp.asarray(pw), jnp.asarray(uv),
+                                         Ks, use_kernel=False)
+        Rk, tk, Rj, tj = map(np.asarray, (Rk, tk, Rj, tj))
+        ang = rot_angle_deg(Rk, Rj)
+        dt = np.linalg.norm(tk - tj, axis=-1)
+        # tolerate a tiny tail of ill-conditioned minimal sets where f32
+        # op-ordering differences get amplified; the gate is on typical
+        # agreement AND a bounded tail
+        p99_ang, max_ang = np.percentile(ang, 99), ang.max()
+        p99_t, max_t = np.percentile(dt, 99), dt.max()
+        print(f"hypotheses noise={noise}: rot deg p50 "
+              f"{np.median(ang):.2e} p99 {p99_ang:.2e} max {max_ang:.2e}"
+              f" | t mm p50 {np.median(dt):.2e} p99 {p99_t:.2e} "
+              f"max {max_t:.2e}")
+        assert p99_ang < 0.1, p99_ang
+        assert p99_t < 0.5, p99_t
+        worst_ang = max(worst_ang, p99_ang)
+        worst_t = max(worst_t, p99_t)
+
+    # full decode program: kernel vs jnp hypothesis stage share the
+    # sampling stream, so final poses must agree for solvable scenes
+    B, G, bits = 8, 64, 16
+    lut_pts = rng.uniform(-40, 40, (2 ** bits, 3)).astype(np.float32)
+    lut_valid = np.ones((2 ** bits,), bool)
+    Kinv = np.linalg.inv(K.astype(np.float64))
+    masks = np.zeros((B, G, G), np.float32)
+    codes = np.zeros((B, G, G, bits), np.float32)
+    bboxes = np.tile(np.array([[100, 70, 96, 96]], np.int32), (B, 1))
+    R_gt = np.zeros((B, 3, 3))
+    t_gt = np.zeros((B, 3))
+    nid = 1
+    for b in range(B):
+        R0 = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+        if np.linalg.det(R0) < 0:
+            R0 *= -1
+        t0 = np.array([0, 0, 600.0])
+        R_gt[b], t_gt[b] = R0, t0
+        for y in range(16, 48):
+            for x in range(14, 50):
+                ox = int(1.5 * x + 100)
+                oy = int(1.5 * y + 70)
+                d = 600.0 + 20 * np.sin(x * 0.2) * np.cos(y * 0.15)
+                pwp = R0.T @ (Kinv @ np.array([ox * d, oy * d, d]) - t0)
+                lut_pts[nid] = pwp
+                masks[b, y, x] = 1.0
+                codes[b, y, x] = [(nid >> s) & 1
+                                  for s in range(bits - 1, -1, -1)]
+                nid += 1
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    cfg = PnPConfig(n_hypotheses=64, max_points=1024)
+    args = (jnp.asarray(masks), jnp.asarray(codes), jnp.asarray(lut_pts),
+            jnp.asarray(lut_valid), jnp.asarray(bboxes),
+            jnp.asarray(np.tile(K[None], (B, 1, 1))), keys)
+    Rk, tk, okk, _ = map(np.asarray, decode_to_pose_batch(
+        *args, bbox_size=G, cfg=cfg, use_kernel=True))
+    Rj, tj, okj, _ = map(np.asarray, decode_to_pose_batch(
+        *args, bbox_size=G, cfg=cfg, use_kernel=False))
+    assert okk.all() and okj.all()
+    ang = rot_angle_deg(Rk, Rj)
+    dt = np.linalg.norm(tk - tj, axis=-1)
+    ang_gt = rot_angle_deg(Rk, R_gt)
+    print(f"decode_to_pose_batch: kernel-vs-jnp rot deg max "
+          f"{ang.max():.2e}, t mm max {dt.max():.2e}; "
+          f"kernel-vs-GT rot deg max {ang_gt.max():.2e}")
+    assert ang.max() < 0.05, ang.max()
+    assert dt.max() < 0.5, dt.max()
+    assert ang_gt.max() < 1.0, ang_gt.max()
+    print("PALLAS_PARITY_OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Sustained-stream serving benchmark (VERDICT r2 #5).
+
+bench.py measures the device-only program (everything resident). This
+measures the DEPLOYMENT-shaped number: steady-state crops/s of
+`run_inference`'s pipelined collate/compute/fetch loop over a
+detection-driven GT-less walk — host PNG decode + bbox math in the
+loop, exactly the reference test_vivo per-image serving shape
+(test_vivo.py:138-179) but batched and pipelined.
+
+Builds a synthetic 480x640 tree in /tmp, one detector instance per
+image, full production shapes (256^2 crop -> 128^2 decode -> 128-hyp
+RANSAC). Reports wall-clock crops/s for a cold pass and a page-cache-
+warm pass, plus the host-collate-only rate for attribution.
+
+Run on the TPU host:  python scripts/serving_bench.py [n_images]
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def build_tree(root: str, n_images: int, rng) -> None:
+    import cv2
+
+    scene = os.path.join(root, "lmo", "test", "000002")
+    os.makedirs(os.path.join(scene, "rgb"), exist_ok=True)
+    cam = {}
+    K = [572.4114, 0.0, 325.2611, 0.0, 573.57043, 242.04899, 0, 0, 1.0]
+    dets = {}
+    for im in range(n_images):
+        img = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+        cv2.imwrite(os.path.join(scene, "rgb", f"{im:06d}.png"), img)
+        cam[str(im)] = {"cam_K": K, "depth_scale": 1.0}
+        dets[f"2/{im}"] = [{"obj_id": 1,
+                            "bbox_est": [200.0, 140.0, 180.0, 170.0],
+                            "score": 0.9}]
+    with open(os.path.join(scene, "scene_camera.json"), "w") as f:
+        json.dump(cam, f)
+    with open(os.path.join(root, "det.json"), "w") as f:
+        json.dump(dets, f)
+
+
+def measure(root: str, n_images: int, batch_size: int = 32):
+    import jax
+
+    from zebrapose_tpu.data import bop_io, detections as det_mod
+    from zebrapose_tpu.codec.lut import CorrespondenceLUT
+    from zebrapose_tpu.eval.evaluate import make_eval_step, run_inference
+    from zebrapose_tpu.eval.vivo import build_vivo_dataset
+    from zebrapose_tpu.models.zebra_net import ZebraPoseNet
+    from zebrapose_tpu.ops.pnp import PnPConfig
+
+    rgb_files, cam_by_file = bop_io.list_images_with_cameras(
+        root, "lmo", data_folder="test")
+    dets = det_mod.load_detections(os.path.join(root, "det.json"))
+    dataset, _scores = build_vivo_dataset(
+        os.path.join(root, "lmo"), "test", rgb_files, cam_by_file,
+        dets, obj_id=1, crop_size_img=256, crop_size_gt=128)
+    assert len(dataset) == n_images
+
+    rng = np.random.default_rng(0)
+    lut = CorrespondenceLUT(
+        rng.uniform(-40, 40, (2 ** 16, 3)).astype(np.float32),
+        np.ones((2 ** 16,), bool), base=2, n_digits=16)
+    model = ZebraPoseNet(binary_code_length=16, variant="v2", concat=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 256, 256, 3), np.float32),
+                           train=False)
+
+    def forward(batch, vs):
+        return model.apply(vs, batch["image"], train=False)
+
+    step = make_eval_step(
+        forward, lut, crop_img=256, crop_gt=128, base=2, n_bits=16,
+        resize_method="crop_square_resize", loss_type="BCE",
+        pnp_cfg=PnPConfig(), preprocess_gt=False)
+
+    # attribution: host collate alone (PNG decode + bbox math)
+    idx = list(range(min(batch_size, n_images)))
+    dataset.collate(idx)   # warm page cache for the first batch
+    t0 = time.perf_counter()
+    dataset.collate(idx)
+    collate_ms = (time.perf_counter() - t0) * 1e3
+
+    times = []
+    for run in range(3):
+        t0 = time.perf_counter()
+        Rs, ts, ok = run_inference(dataset, step, batch_size=batch_size,
+                                   variables=dict(variables))
+        times.append(time.perf_counter() - t0)
+    # run 0 pays jit compile; steady state = best of the warm runs
+    warm = min(times[1:])
+    return {
+        "serving_crops_per_sec": round(n_images / warm, 1),
+        "cold_crops_per_sec": round(n_images / times[1], 1),
+        "host_collate_ms_per_batch": round(collate_ms, 1),
+        "batch": batch_size,
+        "n_images": n_images,
+    }
+
+
+def main():
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    rng = np.random.default_rng(7)
+    with tempfile.TemporaryDirectory() as root:
+        build_tree(root, n_images, rng)
+        out = measure(root, n_images)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
