@@ -84,7 +84,14 @@ def main():
         worst_t = max(worst_t, p99_t)
 
     # full decode program: kernel vs jnp hypothesis stage share the
-    # sampling stream, so final poses must agree for solvable scenes
+    # sampling stream, so final poses must agree for solvable scenes.
+    # NOTE the scene needs real depth relief: on a shallow patch
+    # (tested: +-20mm over a ~55mm-wide patch at 600mm) EPnP's
+    # near-planar two-fold branch ambiguity makes BOTH paths return
+    # full-consensus poses a few degrees apart (t bit-identical — the
+    # centroid lies on the plane; R's equidistant from GT), and which
+    # branch wins flips on f32 op ordering. That is an estimator
+    # property (cv2 EPnP shares it), not a kernel divergence.
     B, G, bits = 8, 64, 16
     lut_pts = rng.uniform(-40, 40, (2 ** bits, 3)).astype(np.float32)
     lut_valid = np.ones((2 ** bits,), bool)
@@ -105,7 +112,7 @@ def main():
             for x in range(14, 50):
                 ox = int(1.5 * x + 100)
                 oy = int(1.5 * y + 70)
-                d = 600.0 + 20 * np.sin(x * 0.2) * np.cos(y * 0.15)
+                d = 600.0 + 60 * np.sin(x * 0.35) * np.cos(y * 0.3)
                 pwp = R0.T @ (Kinv @ np.array([ox * d, oy * d, d]) - t0)
                 lut_pts[nid] = pwp
                 masks[b, y, x] = 1.0
@@ -122,15 +129,24 @@ def main():
     Rj, tj, okj, _ = map(np.asarray, decode_to_pose_batch(
         *args, bbox_size=G, cfg=cfg, use_kernel=False))
     assert okk.all() and okj.all()
+    # orthonormality of the returned rotations: before the round-3
+    # HIGHEST-precision pins this was ~5e-3 on TPU (bf16 3x3 updates in
+    # the polish), which the trace-angle metric reads as fake degrees
+    orth = max(np.abs(np.einsum("nij,nkj->nik", Rk, Rk)
+                      - np.eye(3)).max(),
+               np.abs(np.einsum("nij,nkj->nik", Rj, Rj)
+                      - np.eye(3)).max())
     ang = rot_angle_deg(Rk, Rj)
     dt = np.linalg.norm(tk - tj, axis=-1)
     ang_gt = rot_angle_deg(Rk, R_gt)
     print(f"decode_to_pose_batch: kernel-vs-jnp rot deg max "
           f"{ang.max():.2e}, t mm max {dt.max():.2e}; "
-          f"kernel-vs-GT rot deg max {ang_gt.max():.2e}")
+          f"kernel-vs-GT rot deg max {ang_gt.max():.2e}; "
+          f"orthonormality err max {orth:.2e}")
+    assert orth < 1e-4, orth
     assert ang.max() < 0.05, ang.max()
     assert dt.max() < 0.5, dt.max()
-    assert ang_gt.max() < 1.0, ang_gt.max()
+    assert ang_gt.max() < 0.5, ang_gt.max()
     print("PALLAS_PARITY_OK")
 
 

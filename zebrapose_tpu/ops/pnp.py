@@ -73,8 +73,14 @@ class PnPConfig:
 
 def project_points(pts3d: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
                    K: jnp.ndarray) -> jnp.ndarray:
-    """[N,3] world -> [N,2] pixel coords under x_c = R X + t."""
-    pc = pts3d @ R.T + t[None, :]
+    """[N,3] world -> [N,2] pixel coords under x_c = R X + t.
+
+    HIGHEST precision: the default bf16 MXU pass perturbs pc by ~0.4%,
+    which is ~1 px at f=572 — enough to move points across the 2 px
+    inlier threshold (measured as a 5e-3 rotation orthonormality drift
+    end-to-end before these pins; see PERF.md round 3).
+    """
+    pc = jnp.matmul(pts3d, R.T, precision=_HI) + t[None, :]
     z = jnp.maximum(jnp.abs(pc[:, 2]), 1e-8) * jnp.sign(
         jnp.where(pc[:, 2] == 0, 1.0, pc[:, 2]))
     u = K[0, 0] * pc[:, 0] / z + K[0, 2]
@@ -262,7 +268,7 @@ def _procrustes(pw: jnp.ndarray, pc: jnp.ndarray, w: jnp.ndarray,
         D = jnp.diag(jnp.concatenate([jnp.ones((2,), pw.dtype), d[None]]))
         R = jnp.matmul(jnp.matmul(U, D, precision=_HI), Vt,
                        precision=_HI)
-    t = cc - R @ cw
+    t = cc - jnp.matmul(R, cw, precision=_HI)
     return R, t
 
 
@@ -288,7 +294,8 @@ def _so3_exp(w: jnp.ndarray) -> jnp.ndarray:
                     [k[2], 0.0, -k[0]],
                     [-k[1], k[0], 0.0]])
     s, c = jnp.sin(th), jnp.cos(th)
-    R = jnp.eye(3) + s * Km + (1.0 - c) * (Km @ Km)
+    R = jnp.eye(3) + s * Km + (1.0 - c) * jnp.matmul(
+        Km, Km, precision=_HI)
     return jnp.where(th < 1e-9, jnp.eye(3), R)
 
 
@@ -307,7 +314,7 @@ def gauss_newton_pose_polish(pts3d: jnp.ndarray, pts2d: jnp.ndarray,
 
     def step(carry, _):
         R, t = carry
-        pc = pts3d @ R.T + t[None, :]                     # [N,3]
+        pc = jnp.matmul(pts3d, R.T, precision=_HI) + t[None, :]
         z = jnp.maximum(pc[:, 2], 1e-6)
         iz = 1.0 / z
         u = fx * pc[:, 0] * iz + K[0, 2]
@@ -333,8 +340,10 @@ def gauss_newton_pose_polish(pts3d: jnp.ndarray, pts2d: jnp.ndarray,
         Hm = Hm + 1e-6 * jnp.trace(Hm) / 6.0 * jnp.eye(6)
         b = jnp.einsum("nri,nr->i", Jw, r, precision=_HI)
         xi = solve_psd_small(Hm, b[:, None])[:, 0]
-        R_new = R @ _so3_exp(xi[:3])
-        t_new = t + R @ xi[3:]
+        # HIGHEST: three bf16 3x3 updates accumulate ~5e-3
+        # orthonormality error into the returned rotation
+        R_new = jnp.matmul(R, _so3_exp(xi[:3]), precision=_HI)
+        t_new = t + jnp.matmul(R, xi[3:], precision=_HI)
         # guard against a diverging step (all-outlier degenerate sets)
         ok = jnp.all(jnp.isfinite(xi)) & (jnp.linalg.norm(xi[3:]) < 1e3)
         R = jnp.where(ok, R_new, R)
@@ -387,8 +396,11 @@ def dlt_p6p(pts3d: jnp.ndarray, pts2d: jnp.ndarray, K: jnp.ndarray,
         R = polar_rotation(R_n)
     else:
         U, _, Vt = jnp.linalg.svd(R_n)
-        d = jnp.sign(jnp.linalg.det(U @ Vt))
-        R = U @ jnp.diag(jnp.array([1.0, 1.0, 1.0]).at[2].set(d)) @ Vt
+        d = jnp.sign(jnp.linalg.det(
+            jnp.matmul(U, Vt, precision=_HI)))
+        R = jnp.matmul(jnp.matmul(
+            U, jnp.diag(jnp.array([1.0, 1.0, 1.0]).at[2].set(d)),
+            precision=_HI), Vt, precision=_HI)
     return R, t_tilde / s
 
 
@@ -472,12 +484,17 @@ def _ransac_prepare(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
         # extract the representatives as a one-hot block reduction, not a
         # gather (XLA gathers are the slow op class on TPU)
         oh = jax.nn.one_hot(rep, blk, dtype=pts3d.dtype)  # [Q, blk]
+        # HIGHEST: a bf16 one-hot contraction QUANTIZES the selected
+        # coordinates to 8 mantissa bits (~0.4% -> ~1 px / ~0.2 mm)
         sub3d = jnp.einsum("qb,qbc->qc", oh,
-                           pts3d.reshape(cfg.max_points, blk, 3))
+                           pts3d.reshape(cfg.max_points, blk, 3),
+                           precision=_HI)
         sub2d = jnp.einsum("qb,qbc->qc", oh,
-                           pts2d.reshape(cfg.max_points, blk, 2))
+                           pts2d.reshape(cfg.max_points, blk, 2),
+                           precision=_HI)
         sub_w = jnp.einsum("qb,qb->q", oh,
-                           w.reshape(cfg.max_points, blk))
+                           w.reshape(cfg.max_points, blk),
+                           precision=_HI)
     else:
         sub3d, sub2d, sub_w = pts3d, pts2d, w
     Q = sub3d.shape[0]
