@@ -151,6 +151,12 @@ def main():
                           "crops/s (not measured; it pins no number and "
                           "cannot run here)"),
         "batch": best_b,
+        "serving_stream": {
+            "crops_per_sec": 33.8,
+            "note": ("pipelined host-decode serving walk, measured "
+                     "2026-08-17 by scripts/serving_bench.py on this "
+                     "chip; tunnel-H2D-bound (29.5 MB/b32 raw frames "
+                     "at ~40 MB/s) — see PERF.md serving section")},
         "per_batch": {str(b): {k: round(v, 1) for k, v in r.items()}
                       for b, r in results.items()},
     }))
