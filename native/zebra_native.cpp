@@ -341,12 +341,19 @@ bool solve6(double H[36], const double b[6], double x[6]) {
 // the 2x6 reprojection Jacobian in the model frame and solve damped
 // normal equations (rot damping 5e3, trans damping 5e5), right-multiply
 // the update.
-int zn_edge_refine(const float* vertices, int n_vertices,
-                   const int* faces, int n_faces,
-                   const double* K, int width, int height,
-                   const int* contour_xy, int n_contour,
-                   int iterations, double damp_rot, double damp_trans,
-                   double* R_io, double* t_io) {
+// Core refiner. `dbg` (may be null) receives one uint8 frame per
+// iteration [iterations * height * width]: 0 background, 1 rendered
+// silhouette interior, 2 rendered silhouette contour, 3 target
+// (visible-mask) contour — the reference's edge_refine_debug.cpp
+// per-iteration introspection images, minus the OpenGL dependency.
+static int zn_edge_refine_impl(const float* vertices, int n_vertices,
+                               const int* faces, int n_faces,
+                               const double* K, int width, int height,
+                               const int* contour_xy, int n_contour,
+                               int iterations, double damp_rot,
+                               double damp_trans,
+                               double* R_io, double* t_io,
+                               unsigned char* dbg) {
   if (n_contour < 3) return 1;
   std::vector<int> cls((size_t)width * height);
   std::vector<float> depth((size_t)width * height);
@@ -369,6 +376,18 @@ int zn_edge_refine(const float* vertices, int n_vertices,
           rc.push_back(y);
         }
       }
+    if (dbg) {
+      unsigned char* fr = dbg + (size_t)it * width * height;
+      for (size_t i = 0; i < (size_t)width * height; ++i)
+        fr[i] = cls[i] ? 1 : 0;
+      for (size_t k = 0; k < rc.size(); k += 2)
+        fr[(size_t)rc[k + 1] * width + rc[k]] = 2;
+      for (int ci = 0; ci < n_contour; ++ci) {
+        const int ux = contour_xy[2 * ci], uy = contour_xy[2 * ci + 1];
+        if (ux >= 0 && ux < width && uy >= 0 && uy < height)
+          fr[(size_t)uy * width + ux] = 3;
+      }
+    }
     if (rc.size() < 6) return 2;
 
     double H[36] = {0}, bvec[6] = {0};
@@ -446,6 +465,32 @@ int zn_edge_refine(const float* vertices, int n_vertices,
     for (int i = 0; i < 3; ++i) t_io[i] += tv[i];
   }
   return 0;
+}
+
+int zn_edge_refine(const float* vertices, int n_vertices,
+                   const int* faces, int n_faces,
+                   const double* K, int width, int height,
+                   const int* contour_xy, int n_contour,
+                   int iterations, double damp_rot, double damp_trans,
+                   double* R_io, double* t_io) {
+  return zn_edge_refine_impl(vertices, n_vertices, faces, n_faces, K,
+                             width, height, contour_xy, n_contour,
+                             iterations, damp_rot, damp_trans, R_io,
+                             t_io, nullptr);
+}
+
+int zn_edge_refine_debug(const float* vertices, int n_vertices,
+                         const int* faces, int n_faces,
+                         const double* K, int width, int height,
+                         const int* contour_xy, int n_contour,
+                         int iterations, double damp_rot,
+                         double damp_trans,
+                         double* R_io, double* t_io,
+                         unsigned char* dbg_frames) {
+  return zn_edge_refine_impl(vertices, n_vertices, faces, n_faces, K,
+                             width, height, contour_xy, n_contour,
+                             iterations, damp_rot, damp_trans, R_io,
+                             t_io, dbg_frames);
 }
 
 }  // extern "C"

@@ -54,8 +54,19 @@ def minimal_sets(rng):
 
 
 def rot_err_deg(Ra, Rb):
-    tr = np.einsum("nij,nij->n", Ra, Rb)
-    return np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+    """Angle via the Frobenius chord ||Ra-Rb||_F = 2 sqrt(2) sin(th/2).
+
+    NOT the trace formula: an unconverged polar factor is NOT
+    orthonormal, and a scaled-up R pushes tr(Ra^T Rb) past 3 where the
+    arccos clip silently reports 0 deg for garbage output.
+    """
+    fro = np.linalg.norm((Ra - Rb).reshape(len(Ra), -1), axis=-1)
+    return np.degrees(2 * np.arcsin(np.clip(fro / (2 * np.sqrt(2)), 0, 1)))
+
+
+def orth_err(Ra):
+    return np.abs(np.einsum("nij,nkj->nik", Ra, Ra)
+                  - np.eye(3)).max()
 
 
 def run_config(pw, uv, R0, gn_iters=5, polar_iters=12, sub_iters=4,
@@ -76,7 +87,8 @@ def run_config(pw, uv, R0, gn_iters=5, polar_iters=12, sub_iters=4,
         fast_linalg.smallest_subspace = orig_sub
     e = rot_err_deg(Rs, R0)
     e = np.where(np.isnan(e), 180.0, e)
-    return np.median(e), np.percentile(e, 90)
+    return np.median(e), np.percentile(e, 90), orth_err(
+        np.nan_to_num(Rs, nan=0.0))
 
 
 def main():
@@ -96,24 +108,28 @@ def main():
     e = rot_err_deg(np.stack(errs), R0)
     print(f"cv2 SOLVEPNP_EPNP oracle: median {np.median(e):.4f} deg, "
           f"p90 {np.percentile(e, 90):.4f}")
-    m, p = run_config(pw, uv, R0, fast=False)
-    print(f"exact eigh/svd (fast=False): median {m:.4f}, p90 {p:.4f}")
-    m, p = run_config(pw, uv, R0)
+    m, p, o = run_config(pw, uv, R0, fast=False)
+    print(f"exact eigh/svd (fast=False): median {m:.4f}, p90 {p:.4f}, "
+          f"orth {o:.1e}")
+    m, p, o = run_config(pw, uv, R0)
     print(f"default fast (polar 12 / subspace 4 / gn 5): "
-          f"median {m:.4f}, p90 {p:.4f}")
+          f"median {m:.4f}, p90 {p:.4f}, orth {o:.1e}")
 
     print("\npolar_rotation iters (subspace 4, gn 5):")
     for it in (2, 4, 6, 8, 12, 16):
-        m, p = run_config(pw, uv, R0, polar_iters=it)
-        print(f"  polar {it:2d}: median {m:.4f}, p90 {p:.4f}")
+        m, p, o = run_config(pw, uv, R0, polar_iters=it)
+        print(f"  polar {it:2d}: median {m:.4f}, p90 {p:.4f}, "
+              f"orth {o:.1e}")
     print("\nsmallest_subspace iters (polar 12, gn 5):")
     for it in (1, 2, 3, 4, 6, 8):
-        m, p = run_config(pw, uv, R0, sub_iters=it)
-        print(f"  subspace {it:2d}: median {m:.4f}, p90 {p:.4f}")
+        m, p, o = run_config(pw, uv, R0, sub_iters=it)
+        print(f"  subspace {it:2d}: median {m:.4f}, p90 {p:.4f}, "
+              f"orth {o:.1e}")
     print("\nbetas Gauss-Newton iters (polar 12, subspace 4):")
     for it in (0, 1, 2, 3, 5, 8):
-        m, p = run_config(pw, uv, R0, gn_iters=it)
-        print(f"  gn {it:2d}: median {m:.4f}, p90 {p:.4f}")
+        m, p, o = run_config(pw, uv, R0, gn_iters=it)
+        print(f"  gn {it:2d}: median {m:.4f}, p90 {p:.4f}, "
+              f"orth {o:.1e}")
 
 
 if __name__ == "__main__":

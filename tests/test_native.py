@@ -136,3 +136,49 @@ def test_edge_refine_converges_toward_truth():
                                 damp_trans=1e2)
     e1 = err(R2, t2)
     assert e1 < e0 * 0.5  # refinement at least halves the ADD error
+
+
+def test_edge_refine_debug_frames(tmp_path):
+    import os
+
+    """debug_dir writes one per-iteration introspection image
+    (silhouette / rendered contour / target contour) — the reference's
+    edge_refine_debug.cpp capability — and returns the SAME pose as the
+    non-debug path."""
+    import cv2
+
+    v, f = _cube_mesh()
+    R_true = np.eye(3)
+    t_true = np.array([0, 0, 500.0])
+    cls, _ = native.render_label(v, f, np.ones(12, np.int32), K, R_true,
+                                 t_true, 128, 128)
+    contour = []
+    for y in range(1, 127):
+        for x in range(1, 127):
+            if cls[y, x] and (cls[y, x - 1] == 0 or cls[y, x + 1] == 0 or
+                              cls[y - 1, x] == 0 or cls[y + 1, x] == 0):
+                contour.append((x, y))
+    contour = np.array(contour, np.int32)
+    th = np.radians(4.0)
+    Rp = np.array([[np.cos(th), -np.sin(th), 0],
+                   [np.sin(th), np.cos(th), 0], [0, 0, 1]]) @ R_true
+    tp = t_true + np.array([6.0, -4.0, 0.0])
+
+    dbg = str(tmp_path / "refine_debug")
+    R2, t2 = native.edge_refine(v, f, K, 128, 128, contour, Rp, tp,
+                                iterations=5, damp_rot=1e2,
+                                damp_trans=1e2, debug_dir=dbg)
+    Rn, tn = native.edge_refine(v, f, K, 128, 128, contour, Rp, tp,
+                                iterations=5, damp_rot=1e2,
+                                damp_trans=1e2)
+    np.testing.assert_array_equal(R2, Rn)
+    np.testing.assert_array_equal(t2, tn)
+    frames = sorted(os.listdir(dbg))
+    assert frames == [f"iter_{i:02d}.png" for i in range(5)]
+    img = cv2.imread(os.path.join(dbg, "iter_00.png"))
+    assert img.shape == (128, 128, 3)
+    # all three classes present: silhouette gray, rendered contour
+    # green, target contour red (BGR)
+    assert (img == (96, 96, 96)).all(-1).any()
+    assert (img == (0, 255, 0)).all(-1).any()
+    assert (img == (0, 0, 255)).all(-1).any()

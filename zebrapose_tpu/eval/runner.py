@@ -86,10 +86,14 @@ def extract_visible_contour(entire_mask: np.ndarray,
 
 def refine_poses(dataset: CropDatasetHost, Rs, ts, ok, vis_masks,
                  ent_masks, mesh_pts, mesh_faces, image_hw: Tuple[int, int],
-                 crop_gt: int, iterations: int = 10) -> None:
+                 crop_gt: int, iterations: int = 10,
+                 debug_dir: Optional[str] = None) -> None:
     """In-place contour refinement of successful poses (reference refine
     path): map the crop-space visible contour to full-image pixels via
-    the final bbox, run the native Gauss-Newton refiner."""
+    the final bbox, run the native Gauss-Newton refiner.
+
+    debug_dir: per-sample subdirs of per-iteration introspection images
+    (the reference's --debug edge_refine_debug variant, test.py:604-612)."""
     from zebrapose_tpu import native
     from zebrapose_tpu.ops.roi import map_pixels_to_original
     import jax.numpy as jnp
@@ -113,7 +117,9 @@ def refine_poses(dataset: CropDatasetHost, Rs, ts, ok, vis_masks,
             R2, t2 = native.edge_refine(
                 mesh_pts, mesh_faces, raw["K"].astype(np.float64),
                 w_img, h_img, orig, Rs[i].astype(np.float64),
-                ts[i].astype(np.float64), iterations=iterations)
+                ts[i].astype(np.float64), iterations=iterations,
+                debug_dir=(os.path.join(debug_dir, f"{i:06d}")
+                           if debug_dir else None))
             Rs[i] = R2.astype(np.float32)
             ts[i] = t2.astype(np.float32)
         except RuntimeError:
@@ -229,7 +235,10 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
                 cam_w, cam_h = int(im_size[0]), int(im_size[1])
             refine_poses(dataset, Rs, ts, ok, vis_masks, ent_masks,
                          vertices, mesh["faces"].astype(np.int32),
-                         (cam_h, cam_w), cfg.BoundingBox_CropSize_GT)
+                         (cam_h, cam_w), cfg.BoundingBox_CropSize_GT,
+                         debug_dir=(os.path.join(output_dir, "debug",
+                                                 "refine")
+                                    if debug else None))
         for i in range(len(dataset)):
             if not ok[i]:
                 Rs[i] = np.eye(3)

@@ -53,6 +53,12 @@ def _load():
                                    c_int, i32p, c_int, c_int, c_dbl,
                                    c_dbl, f64p, f64p]
     lib.zn_edge_refine.restype = c_int
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.zn_edge_refine_debug.argtypes = [f32p, c_int, i32p, c_int, f64p,
+                                         c_int, c_int, i32p, c_int,
+                                         c_int, c_dbl, c_dbl, f64p,
+                                         f64p, u8p]
+    lib.zn_edge_refine_debug.restype = c_int
     _lib = lib
     return lib
 
@@ -119,21 +125,48 @@ def class_centroids(vertices: np.ndarray, vertex_class: np.ndarray,
 def edge_refine(vertices: np.ndarray, faces: np.ndarray, K: np.ndarray,
                 width: int, height: int, contour_xy: np.ndarray,
                 R: np.ndarray, t: np.ndarray, iterations: int = 10,
-                damp_rot: float = 5e3, damp_trans: float = 5e5
+                damp_rot: float = 5e3, damp_trans: float = 5e5,
+                debug_dir: str = None
                 ) -> Tuple[np.ndarray, np.ndarray]:
     """Contour-based Gauss-Newton pose refinement (py_edge_refine
     equivalent). contour_xy: [N,2] int pixel coords of the visible part
-    of the predicted entire-mask contour. Returns refined (R, t)."""
+    of the predicted entire-mask contour. Returns refined (R, t).
+
+    debug_dir: when given, writes one `iter_XX.png` per iteration
+    visualizing the rendered silhouette (gray), its contour (green) and
+    the target visible contour (red) — the reference's
+    edge_refine_debug.cpp save-images introspection for diagnosing
+    refiner divergence."""
     lib = _load()
     v = np.ascontiguousarray(vertices, np.float32)
     f = np.ascontiguousarray(faces, np.int32).reshape(-1, 3)
     c = np.ascontiguousarray(contour_xy, np.int32).reshape(-1, 2)
     R_io = np.ascontiguousarray(R, np.float64).reshape(-1).copy()
     t_io = np.ascontiguousarray(t, np.float64).reshape(-1).copy()
-    rc = lib.zn_edge_refine(v, len(v), f, len(f),
-                            np.ascontiguousarray(K, np.float64).reshape(-1),
-                            width, height, c, len(c), iterations,
-                            damp_rot, damp_trans, R_io, t_io)
+    Kc = np.ascontiguousarray(K, np.float64).reshape(-1)
+    if debug_dir is None:
+        rc = lib.zn_edge_refine(v, len(v), f, len(f), Kc,
+                                width, height, c, len(c), iterations,
+                                damp_rot, damp_trans, R_io, t_io)
+        frames = None
+    else:
+        frames = np.zeros((iterations, height, width), np.uint8)
+        rc = lib.zn_edge_refine_debug(v, len(v), f, len(f), Kc,
+                                      width, height, c, len(c),
+                                      iterations, damp_rot, damp_trans,
+                                      R_io, t_io, frames)
+    if frames is not None:
+        import os as _os
+
+        import cv2 as _cv2
+        _os.makedirs(debug_dir, exist_ok=True)
+        palette = np.array([[0, 0, 0], [96, 96, 96], [0, 255, 0],
+                            [0, 0, 255]], np.uint8)  # BGR
+        for i, fr in enumerate(frames):
+            if rc != 0 and not fr.any():
+                break  # iteration never ran
+            _cv2.imwrite(_os.path.join(debug_dir, f"iter_{i:02d}.png"),
+                         palette[fr])
     if rc != 0:
         raise RuntimeError(f"zn_edge_refine failed: {rc}")
     return R_io.reshape(3, 3), t_io
