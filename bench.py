@@ -115,7 +115,7 @@ def main():
         return decode(out, masks, bboxes, key)
 
     results = {}
-    for b in (32, 64, 128):
+    for b in (32, 64, 128, 256):
         masks = jnp.asarray(_compact_mask(b))
         bboxes = jnp.asarray(np.tile(
             np.array([[200, 150, 128, 128]], np.int32), (b, 1)))
