@@ -218,3 +218,37 @@ def test_polish_reduces_reprojection_error():
     # and the pose itself lands near GT
     assert _rot_err_deg(np.asarray(R2), R) < 0.5
     assert np.linalg.norm(np.asarray(t2) - t) < 5.0
+
+
+def test_prepare_onehot_extraction_is_exact_gather():
+    """The one-hot-matmul minimal-set extraction must equal a plain row
+    gather bit-for-bit (each output row accumulates exactly one nonzero
+    term under HIGHEST precision)."""
+    from zebrapose_tpu.ops import pnp as pnp_mod
+
+    rng = np.random.default_rng(21)
+    cfg = PnPConfig(n_hypotheses=16, max_points=64)
+    P = 256                                    # P > max_points: subset path
+    pts3d = jnp.asarray(rng.uniform(-40, 40, (P, 3)).astype(np.float32))
+    pts2d = jnp.asarray(rng.uniform(0, 640, (P, 2)).astype(np.float32))
+    w = jnp.asarray((rng.random(P) < 0.3).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+
+    sub3d, sub2d, sub_w, samp3d, samp2d = jax.jit(
+        pnp_mod._ransac_prepare, static_argnums=4)(
+            pts3d, pts2d, w, key, cfg)
+
+    # re-derive the sampled indices exactly as _ransac_prepare does and
+    # compare the one-hot extraction against the gather formulation
+    cdf = jnp.cumsum((sub_w > 0).astype(jnp.float32))
+    u = jax.random.uniform(key, (cfg.n_hypotheses, cfg.sample_size),
+                           maxval=jnp.maximum(cdf[-1], 1.0))
+    idx = jnp.clip(jnp.searchsorted(cdf, u, side="right",
+                                    method="compare_all"),
+                   0, sub3d.shape[0] - 1)
+    np.testing.assert_array_equal(np.asarray(samp3d),
+                                  np.asarray(sub3d)[np.asarray(idx)])
+    np.testing.assert_array_equal(np.asarray(samp2d),
+                                  np.asarray(sub2d)[np.asarray(idx)])
+    # every sampled point is foreground (weight > 0) when any exists
+    assert float(jnp.min(sub_w[idx] > 0)) == 1.0
