@@ -21,6 +21,7 @@ the real result; vs_baseline is labeled estimated via baseline_note.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -54,6 +55,117 @@ def _time_program(fn, args, iters=10):
         out = fn(*args)
     float(out[-1])
     return (time.perf_counter() - t0) / iters
+
+
+def _trained_mask_section(batch_size: int = 64, iters: int = 10):
+    """Time the PRODUCTION eval program — the model's OWN mask-head
+    output gating the decode (make_eval_step), not the synthetic
+    compact masks of the headline — with a trained checkpoint on real
+    rendered frames, when the full-shape rehearsal artifacts
+    (scripts/rehearsal_full_shape.py: trained-to-0.74-recall ckpt +
+    on-disk BOP tree) exist in this environment. Headline numbers stay
+    on synthetic masks so they are reproducible from a bare checkout;
+    this section makes the workload composition honest whenever a
+    trained model is available (a random-weight mask head would be
+    noise — see PERF.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    root = os.environ.get("ZEBRAPOSE_TRAINED_ROOT", "/tmp/zebra_rehearsal3")
+    best_dir = os.path.join(root, "run", "checkpoints", "best")
+    if not (os.path.isdir(best_dir)
+            and os.path.isdir(os.path.join(root, "lmo", "test"))):
+        return {"note": ("no trained checkpoint in this environment "
+                         "(run scripts/rehearsal_full_shape.py); decode "
+                         "timed on synthetic compact masks only")}
+    try:
+        import orbax.checkpoint as ocp
+
+        from zebrapose_tpu.codec.lut import load_correspondence_lut
+        from zebrapose_tpu.config import ZebraConfig
+        from zebrapose_tpu.data import bop_io
+        from zebrapose_tpu.data.pipeline import CropDatasetHost
+        from zebrapose_tpu.eval.evaluate import make_eval_step
+        from zebrapose_tpu.models.zebra_net import ZebraPoseNet
+        from zebrapose_tpu.ops.pnp import PnPConfig
+
+        cfg = ZebraConfig.from_dict({
+            "bop_path": root, "dataset_name": "lmo",
+            "test_folder": "test",
+            "BoundingBox_CropSize_image": 256,
+            "BoundingBox_CropSize_GT": 128,
+            "divide_number_each_itration": 2,
+            "number_of_itration": 16,
+        })
+        val = bop_io.get_dataset(root, "lmo", train=False,
+                                 data_folder="test")
+        ds = CropDatasetHost(
+            val.dataset_dir, "test", *val.for_obj(1), is_train=False,
+            crop_size_img=cfg.BoundingBox_CropSize_image,
+            crop_size_gt=cfg.BoundingBox_CropSize_GT,
+            padding_ratio=cfg.padding_ratio,
+            resize_method=cfg.resize_method)
+        lut = load_correspondence_lut(os.path.join(
+            root, "lmo", "models_GT_color", "Class_CorresPoint000001.txt"))
+
+        dirs = [d for d in os.listdir(best_dir) if d.startswith("step_")]
+        payload = ocp.StandardCheckpointer().restore(
+            os.path.join(best_dir, dirs[0]))
+        variables = jax.tree.map(jnp.asarray, {
+            "params": payload["params"],
+            "batch_stats": payload["batch_stats"]})
+
+        model = ZebraPoseNet(
+            binary_code_length=cfg.number_of_itration,
+            base=cfg.divide_number_each_itration, variant="v2",
+            resnet_layers=cfg.resnet_layer,
+            concat=cfg.concat_encoder_decoder,
+            output_kernel_size=cfg.output_kernel_size,
+            dtype=jnp.bfloat16)
+        eval_step = make_eval_step(
+            lambda b, v: model.apply(v, b["image"], train=False),
+            lut, crop_img=cfg.BoundingBox_CropSize_image,
+            crop_gt=cfg.BoundingBox_CropSize_GT,
+            base=cfg.divide_number_each_itration,
+            n_bits=cfg.number_of_itration,
+            resize_method=cfg.resize_method,
+            loss_type=cfg.BinaryCode_Loss_Type,
+            pnp_cfg=PnPConfig(n_hypotheses=128, max_points=2048),
+            preprocess_gt=False)
+
+        n = len(ds)
+        idx = [i % n for i in range(batch_size)]
+        raw = ds.collate(idx)
+        feed = {k: jnp.asarray(raw[k]) for k in
+                ("rgb", "label", "mask", "entire_mask", "roi_param",
+                 "valid")}
+        fb = jnp.asarray(raw["final_bbox"].astype(np.int32))
+        K = jnp.asarray(raw["K"])
+        key = jax.random.PRNGKey(7)
+
+        out = eval_step(feed, fb, K, key, variables)   # compile + warm
+        solved = float(np.asarray(out[2]).mean())
+        # best-of-rounds: a first-ever compile in this process leaves it
+        # degraded for many subsequent iterations (measured 4x on the
+        # 1-core host); the fastest round is the steady-state number
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = eval_step(feed, fb, K, key, variables)
+            float(jnp.sum(out[1]))                     # drain the queue
+            dt = min(dt, (time.perf_counter() - t0) / iters)
+        return {
+            "crops_per_sec": round(batch_size / dt, 1),
+            "batch": batch_size,
+            "solved_frac": round(solved, 3),
+            "ckpt": open(os.path.join(best_dir, "best_score.txt"))
+                .read().strip(),
+            "note": ("production eval program (model's own mask head "
+                     "gates the decode) on real rendered val frames "
+                     "with the rehearsal-trained checkpoint")}
+    except Exception as e:                      # pragma: no cover
+        return {"note": f"trained-mask section failed: {e!r}"}
 
 
 def main():
@@ -159,6 +271,7 @@ def main():
                      "at ~40 MB/s) — see PERF.md serving section")},
         "per_batch": {str(b): {k: round(v, 1) for k, v in r.items()}
                       for b, r in results.items()},
+        "trained_mask": _trained_mask_section(),
     }))
 
 
