@@ -84,6 +84,9 @@ def main(argv=None):
     p_test.add_argument("--mask_rcnn", action="store_true",
                         help="use the detector's RLE segmentation instead "
                              "of the mask head (test_for_mask_rcnn.py)")
+    p_test.add_argument("--int8", action="store_true",
+                        help="conv compute on the TPU int8 MXU path "
+                             "(serving mode; same checkpoint)")
     p_test.add_argument("--profile", default=None,
                         help="write a JAX profiler trace to this dir")
 
@@ -95,6 +98,8 @@ def main(argv=None):
     p_vivo.add_argument("--variant", default="v2")
     p_vivo.add_argument("--score_threshold", type=float, default=0.2)
     p_vivo.add_argument("--batch_size", type=int, default=16)
+    p_vivo.add_argument("--int8", action="store_true",
+                        help="conv compute on the TPU int8 MXU path")
     p_vivo.add_argument("--mask_rcnn", action="store_true",
                         help="use detector RLE segmentations "
                              "(test_vivo_for_mask_rcnn.py)")
@@ -210,14 +215,16 @@ def main(argv=None):
                         ignore_bit=args.ignore_bit, variant=args.variant,
                         debug=args.debug, batch_size=args.batch_size,
                         max_samples=args.max_samples,
-                        mask_rcnn=args.mask_rcnn)
+                        mask_rcnn=args.mask_rcnn,
+                        int8=args.int8)
             else:
                 from zebrapose_tpu.eval.runner_vivo import run_vivo
                 metrics = run_vivo(
                     cfg, args.obj_name, args.ckpt_file, run_dir,
                     variant=args.variant,
                     score_threshold=args.score_threshold,
-                    batch_size=args.batch_size, mask_rcnn=args.mask_rcnn)
+                    batch_size=args.batch_size,
+                    mask_rcnn=args.mask_rcnn, int8=args.int8)
             print(json.dumps(metrics, indent=2))
         return 0
 

@@ -132,11 +132,15 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
              pnp_cfg: Optional[PnPConfig] = None,
              gt_dir_suffix: str = "_GT_v2",
              max_samples: Optional[int] = None,
-             mask_rcnn: bool = False) -> Dict[str, float]:
+             mask_rcnn: bool = False,
+             int8: bool = False) -> Dict[str, float]:
     """Single-instance evaluation of one object (test.py main).
 
     mask_rcnn: use the detector's RLE segmentation in place of the
-    network's mask head (reference test_for_mask_rcnn.py)."""
+    network's mask head (reference test_for_mask_rcnn.py).
+    int8: run conv compute on the TPU int8 MXU path (serving mode; same
+    checkpoint, per-channel weight / dynamic activation quantization —
+    models/layers._Int8Conv)."""
     obj_id = lookup_obj_id(cfg.dataset_name, obj_name)
 
     if cfg.bop_challange:
@@ -193,7 +197,7 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
         base=cfg.divide_number_each_itration, variant=variant,
         resnet_layers=cfg.resnet_layer,
         concat=cfg.concat_encoder_decoder,
-        output_kernel_size=cfg.output_kernel_size)
+        output_kernel_size=cfg.output_kernel_size, quant=int8)
     variables = load_model_variables(
         ckpt_file, model, variant, cfg.BoundingBox_CropSize_image,
         resnet_layers=cfg.resnet_layer,

@@ -22,7 +22,8 @@ def run_vivo(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
              output_dir: str, variant: str = "v2",
              score_threshold: float = 0.2, batch_size: int = 16,
              pnp_cfg: Optional[PnPConfig] = None,
-             mask_rcnn: bool = False) -> Dict[str, float]:
+             mask_rcnn: bool = False,
+             int8: bool = False) -> Dict[str, float]:
     obj_id = lookup_obj_id(cfg.dataset_name, obj_name)
 
     # Vivo iterates IMAGES (not GT instances): build the image list from
@@ -51,7 +52,7 @@ def run_vivo(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
         base=cfg.divide_number_each_itration, variant=variant,
         resnet_layers=cfg.resnet_layer,
         concat=cfg.concat_encoder_decoder,
-        output_kernel_size=cfg.output_kernel_size)
+        output_kernel_size=cfg.output_kernel_size, quant=int8)
     variables = load_model_variables(
         ckpt_file, model, variant, cfg.BoundingBox_CropSize_image,
         resnet_layers=cfg.resnet_layer,

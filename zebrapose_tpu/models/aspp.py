@@ -33,12 +33,13 @@ class _ConvBnRelu(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         y = TorchConv(self.features, self.kernel_size, 1, self.padding,
                       self.dilation, use_bias=self.use_bias,
-                      dtype=self.dtype, name="conv")(x)
+                      dtype=self.dtype, quant=self.quant, name="conv")(x)
         y = TorchBatchNorm(dtype=self.dtype, name="bn")(y, train)
         return nn.relu(y)
 
@@ -49,6 +50,7 @@ class UpsampleBlock(nn.Module):
     features: int
     in_features: int
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -59,7 +61,8 @@ class UpsampleBlock(nn.Module):
         y = nn.relu(y)
         for i in (1, 2):
             y = TorchConv(self.features, 3, 1, 1, use_bias=False,
-                          dtype=self.dtype, name=f"conv{i}")(y)
+                          dtype=self.dtype, quant=self.quant,
+                          name=f"conv{i}")(y)
             y = TorchBatchNorm(dtype=self.dtype, name=f"bn{i}")(y, train)
             y = nn.relu(y)
         return y
@@ -78,35 +81,41 @@ class ASPP(nn.Module):
     skip_lo_ch: int = 64   # x_64 channels
     skip_hi_ch: int = 64   # x_128 channels
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x_high, x_128, x_64, train: bool = False):
         h, w = x_high.shape[1], x_high.shape[2]
-        b1 = _ConvBnRelu(256, 1, dtype=self.dtype, name="conv_1x1_1")(
+        b1 = _ConvBnRelu(256, 1, dtype=self.dtype, quant=self.quant,
+                         name="conv_1x1_1")(
             x_high, train)
-        b2 = _ConvBnRelu(256, 3, 6, 6, dtype=self.dtype, name="conv_3x3_1")(
+        b2 = _ConvBnRelu(256, 3, 6, 6, dtype=self.dtype, quant=self.quant,
+                         name="conv_3x3_1")(
             x_high, train)
-        b3 = _ConvBnRelu(256, 3, 12, 12, dtype=self.dtype,
+        b3 = _ConvBnRelu(256, 3, 12, 12, dtype=self.dtype, quant=self.quant,
                          name="conv_3x3_2")(x_high, train)
-        b4 = _ConvBnRelu(256, 3, 18, 18, dtype=self.dtype,
+        b4 = _ConvBnRelu(256, 3, 18, 18, dtype=self.dtype, quant=self.quant,
                          name="conv_3x3_3")(x_high, train)
         gp = jnp.mean(x_high, axis=(1, 2), keepdims=True)
-        gp = _ConvBnRelu(256, 1, dtype=self.dtype, name="conv_1x1_2")(
+        gp = _ConvBnRelu(256, 1, dtype=self.dtype, quant=self.quant,
+                         name="conv_1x1_2")(
             gp, train)
         gp = jnp.broadcast_to(gp, (gp.shape[0], h, w, gp.shape[3]))
 
         out = jnp.concatenate([b1, b2, b3, b4, gp], axis=-1)
-        out = _ConvBnRelu(256, 1, dtype=self.dtype, name="conv_1x1_3")(
+        out = _ConvBnRelu(256, 1, dtype=self.dtype, quant=self.quant,
+                          name="conv_1x1_3")(
             out, train)
 
-        up1 = UpsampleBlock(256, 256, dtype=self.dtype, name="upsample_1")(
+        up1 = UpsampleBlock(256, 256, dtype=self.dtype, quant=self.quant,
+                            name="upsample_1")(
             out, train)
         if self.concat:
             up1 = jnp.concatenate([up1, x_64], axis=-1)
             up2_in = 256 + self.skip_lo_ch
         else:
             up2_in = 256
-        up2 = UpsampleBlock(256, up2_in, dtype=self.dtype,
+        up2 = UpsampleBlock(256, up2_in, dtype=self.dtype, quant=self.quant,
                             name="upsample_2")(up1, train)
 
         up2 = jnp.concatenate([up2, x_128], axis=-1)
@@ -123,33 +132,39 @@ class ASPPNonBinary(nn.Module):
     concat: bool = True
     output_kernel_size: int = 1
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x_high, x_128, x_64, train: bool = False):
         h, w = x_high.shape[1], x_high.shape[2]
-        b1 = _ConvBnRelu(256, 1, dtype=self.dtype, name="conv_1x1_1")(
+        b1 = _ConvBnRelu(256, 1, dtype=self.dtype, quant=self.quant,
+                         name="conv_1x1_1")(
             x_high, train)
-        b2 = _ConvBnRelu(256, 3, 6, 6, dtype=self.dtype, name="conv_3x3_1")(
+        b2 = _ConvBnRelu(256, 3, 6, 6, dtype=self.dtype, quant=self.quant,
+                         name="conv_3x3_1")(
             x_high, train)
-        b3 = _ConvBnRelu(256, 3, 12, 12, dtype=self.dtype,
+        b3 = _ConvBnRelu(256, 3, 12, 12, dtype=self.dtype, quant=self.quant,
                          name="conv_3x3_2")(x_high, train)
-        b4 = _ConvBnRelu(256, 3, 18, 18, dtype=self.dtype,
+        b4 = _ConvBnRelu(256, 3, 18, 18, dtype=self.dtype, quant=self.quant,
                          name="conv_3x3_3")(x_high, train)
         gp = jnp.mean(x_high, axis=(1, 2), keepdims=True)
-        gp = _ConvBnRelu(256, 1, dtype=self.dtype, name="conv_1x1_2")(
+        gp = _ConvBnRelu(256, 1, dtype=self.dtype, quant=self.quant,
+                         name="conv_1x1_2")(
             gp, train)
         gp = jnp.broadcast_to(gp, (gp.shape[0], h, w, gp.shape[3]))
         out = jnp.concatenate([b1, b2, b3, b4, gp], axis=-1)
-        out = _ConvBnRelu(256, 1, dtype=self.dtype, name="conv_1x1_3")(
+        out = _ConvBnRelu(256, 1, dtype=self.dtype, quant=self.quant,
+                          name="conv_1x1_3")(
             out, train)
-        up1 = UpsampleBlock(256, 256, dtype=self.dtype, name="upsample_1")(
+        up1 = UpsampleBlock(256, 256, dtype=self.dtype, quant=self.quant,
+                            name="upsample_1")(
             out, train)
         if self.concat:
             up1 = jnp.concatenate([up1, x_64], axis=-1)
             up2_in = 256 + 64
         else:
             up2_in = 256
-        up2 = UpsampleBlock(256, up2_in, dtype=self.dtype,
+        up2 = UpsampleBlock(256, up2_in, dtype=self.dtype, quant=self.quant,
                             name="upsample_2")(up1, train)
         up2 = jnp.concatenate([up2, x_128], axis=-1)
         k = self.output_kernel_size
@@ -171,30 +186,37 @@ class ASPPv3(nn.Module):
     num_classes: int = 1
     output_kernel_size: int = 1
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, mask, x_high, x_128, x_64, train: bool = False):
         h, w = x_high.shape[1], x_high.shape[2]
-        b1 = _ConvBnRelu(256, 1, dtype=self.dtype, name="conv_1x1_1")(
+        b1 = _ConvBnRelu(256, 1, dtype=self.dtype, quant=self.quant,
+                         name="conv_1x1_1")(
             x_high, train)
-        b2 = _ConvBnRelu(256, 3, 6, 6, dtype=self.dtype, name="conv_3x3_1")(
+        b2 = _ConvBnRelu(256, 3, 6, 6, dtype=self.dtype, quant=self.quant,
+                         name="conv_3x3_1")(
             x_high, train)
-        b3 = _ConvBnRelu(256, 3, 12, 12, dtype=self.dtype,
+        b3 = _ConvBnRelu(256, 3, 12, 12, dtype=self.dtype, quant=self.quant,
                          name="conv_3x3_2")(x_high, train)
         gp = jnp.mean(x_high, axis=(1, 2), keepdims=True)
-        gp = _ConvBnRelu(256, 1, dtype=self.dtype, name="conv_1x1_2")(
+        gp = _ConvBnRelu(256, 1, dtype=self.dtype, quant=self.quant,
+                         name="conv_1x1_2")(
             gp, train)
         gp = jnp.broadcast_to(gp, (gp.shape[0], h, w, gp.shape[3]))
         mask_32 = interpolate_bilinear(mask, (h, w))
         out = jnp.concatenate([b1, b2, b3, gp, mask_32], axis=-1)  # 1025ch
-        out = _ConvBnRelu(256, 1, dtype=self.dtype, name="conv_1x1_3")(
+        out = _ConvBnRelu(256, 1, dtype=self.dtype, quant=self.quant,
+                          name="conv_1x1_3")(
             out, train)
 
-        up1 = UpsampleBlock(256, 256, dtype=self.dtype, name="upsample_1")(
+        up1 = UpsampleBlock(256, 256, dtype=self.dtype, quant=self.quant,
+                            name="upsample_1")(
             out, train)
         mask_64 = interpolate_bilinear(mask, (2 * h, 2 * w))
         up1 = jnp.concatenate([up1, x_64, mask_64], axis=-1)
         up2 = UpsampleBlock(256, 256 + 64 + 1, dtype=self.dtype,
+                            quant=self.quant,
                             name="upsample_2")(up1, train)
         up2 = jnp.concatenate([up2, x_128, mask], axis=-1)
         k = self.output_kernel_size

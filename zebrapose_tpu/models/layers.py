@@ -16,8 +16,63 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+class _Int8Conv(nn.Module):
+    """Drop-in nn.Conv replacement executing on the TPU int8 MXU path.
+
+    Declares the SAME parameter tree as the nn.Conv it replaces
+    (kernel [kh,kw,in,out] f32, bias [out] f32), so trained or
+    torch-converted checkpoints load unchanged. Quantization happens at
+    apply time, in-graph:
+      * weights: per-output-channel symmetric int8 (amax/127) — the
+        per-channel rescale rides the dequant multiply;
+      * activations: per-tensor dynamic symmetric int8 (one amax
+        reduce per call — an elementwise-pass cost, repaid by the
+        ~1.4x int8 conv throughput on the hot 128^2/dilated shapes and
+        halved HBM traffic, measured on v5e — PERF.md);
+      * accumulation int32, dequantized output cast to `dtype`.
+    Inference-only: gradients through round() are not defined here.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = ((0, 0), (0, 0))
+    kernel_dilation: Tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features), jnp.float32)
+        w = kernel.astype(jnp.float32)
+        sw = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)),
+                         1e-8) / 127.0                       # [out]
+        wq = jnp.round(w / sw).astype(jnp.int8)
+        xf = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, wq, window_strides=self.strides, padding=self.padding,
+            rhs_dilation=self.kernel_dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (sx * sw)    # sw broadcasts over C
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+            y = y + b
+        return y.astype(self.dtype)
+
+
 class TorchConv(nn.Module):
-    """nn.Conv2d equivalent: explicit symmetric padding, HWIO kernel."""
+    """nn.Conv2d equivalent: explicit symmetric padding, HWIO kernel.
+
+    quant=True swaps the conv for the int8 MXU path (_Int8Conv) with an
+    identical parameter tree — an inference-time serving mode, toggled
+    per-model via ZebraPoseNet(quant=True)."""
 
     features: int
     kernel_size: int = 3
@@ -26,9 +81,28 @@ class TorchConv(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     dtype: Any = jnp.float32
+    quant: bool = False
+    # int8 only pays off on MXU-bound convs; small convs (stem 3->64,
+    # layer1 64x64, 1-channel heads) measured no speedup on v5e AND are
+    # the accuracy-sensitive ones (first-layer input range, tiny-channel
+    # quantization noise). Quantize only when Cin*Cout clears this bar.
+    quant_min_cinxcout: int = 16384
 
     @nn.compact
     def __call__(self, x):
+        if self.quant and x.shape[-1] * self.features >= \
+                self.quant_min_cinxcout:
+            return _Int8Conv(
+                features=self.features,
+                kernel_size=(self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=((self.padding, self.padding),
+                         (self.padding, self.padding)),
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),

@@ -29,21 +29,23 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         y = TorchConv(self.channels, 3, self.stride, self.dilation,
                       self.dilation, use_bias=False, dtype=self.dtype,
-                      name="conv1")(x)
+                      quant=self.quant, name="conv1")(x)
         y = TorchBatchNorm(dtype=self.dtype, name="bn1")(y, train)
         y = nn.relu(y)
         y = TorchConv(self.channels, 3, 1, self.dilation, self.dilation,
-                      use_bias=False, dtype=self.dtype, name="conv2")(y)
+                      use_bias=False, dtype=self.dtype, quant=self.quant,
+                      name="conv2")(y)
         y = TorchBatchNorm(dtype=self.dtype, name="bn2")(y, train)
         if self.downsample:
             sc = TorchConv(self.channels, 1, self.stride, 0, 1,
                            use_bias=False, dtype=self.dtype,
-                           name="downsample_conv")(x)
+                           quant=self.quant, name="downsample_conv")(x)
             sc = TorchBatchNorm(dtype=self.dtype, name="downsample_bn")(
                 sc, train)
         else:
@@ -59,25 +61,27 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         out_ch = 4 * self.channels
         y = TorchConv(self.channels, 1, 1, 0, use_bias=False,
-                      dtype=self.dtype, name="conv1")(x)
+                      dtype=self.dtype, quant=self.quant, name="conv1")(x)
         y = TorchBatchNorm(dtype=self.dtype, name="bn1")(y, train)
         y = nn.relu(y)
         y = TorchConv(self.channels, 3, self.stride, self.dilation,
                       self.dilation, use_bias=False, dtype=self.dtype,
-                      name="conv2")(y)
+                      quant=self.quant, name="conv2")(y)
         y = TorchBatchNorm(dtype=self.dtype, name="bn2")(y, train)
         y = nn.relu(y)
         y = TorchConv(out_ch, 1, 1, 0, use_bias=False, dtype=self.dtype,
-                      name="conv3")(y)
+                      quant=self.quant, name="conv3")(y)
         y = TorchBatchNorm(dtype=self.dtype, name="bn3")(y, train)
         if self.downsample:
             sc = TorchConv(out_ch, 1, self.stride, 0, 1, use_bias=False,
-                           dtype=self.dtype, name="downsample_conv")(x)
+                           dtype=self.dtype, quant=self.quant,
+                           name="downsample_conv")(x)
             sc = TorchBatchNorm(dtype=self.dtype, name="downsample_bn")(
                 sc, train)
         else:
@@ -86,7 +90,8 @@ class Bottleneck(nn.Module):
 
 
 def _stage(name: str, channels: int, num_blocks: int, stride: int,
-           dilation: int, in_channels: int, dtype, block=BasicBlock):
+           dilation: int, in_channels: int, dtype, block=BasicBlock,
+           quant: bool = False):
     """A make_layer-equivalent list of blocks."""
     out_ch = channels * (4 if block is Bottleneck else 1)
     blocks = []
@@ -94,7 +99,7 @@ def _stage(name: str, channels: int, num_blocks: int, stride: int,
         s = stride if i == 0 else 1
         ds = (s != 1) or (in_channels != out_ch) if i == 0 else False
         blocks.append(block(channels, s, dilation, downsample=ds,
-                            dtype=dtype, name=f"{name}_{i}"))
+                            dtype=dtype, quant=quant, name=f"{name}_{i}"))
         in_channels = out_ch
     return blocks
 
@@ -104,34 +109,39 @@ class ResNet34OS8(nn.Module):
     non-concat callers just ignore the extra taps)."""
 
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False
                  ) -> Tuple[jnp.ndarray, ...]:
         # stem: conv7x7 s2 + BN + ReLU  -> x_128 (h/2, 64)
         y = TorchConv(64, 7, 2, 3, use_bias=False, dtype=self.dtype,
-                      name="conv1")(x)
+                      quant=self.quant, name="conv1")(x)
         y = TorchBatchNorm(dtype=self.dtype, name="bn1")(y, train)
         x_128 = nn.relu(y)
 
         # maxpool + layer1 (3 blocks, 64) -> x_64 (h/4, 64)
         y = max_pool_3x3_s2_p1(x_128)
-        for blk in _stage("layer1", 64, 3, 1, 1, 64, self.dtype):
+        for blk in _stage("layer1", 64, 3, 1, 1, 64, self.dtype,
+                          quant=self.quant):
             y = blk(y, train)
         x_64 = y
 
         # layer2 (4 blocks, 128, s2) -> x_32 (h/8, 128)
-        for blk in _stage("layer2", 128, 4, 2, 1, 64, self.dtype):
+        for blk in _stage("layer2", 128, 4, 2, 1, 64, self.dtype,
+                          quant=self.quant):
             y = blk(y, train)
         x_32 = y
 
         # dilated layer4 (6 blocks, 256, d2) -> x_16 (h/8, 256)
-        for blk in _stage("layer4", 256, 6, 1, 2, 128, self.dtype):
+        for blk in _stage("layer4", 256, 6, 1, 2, 128, self.dtype,
+                          quant=self.quant):
             y = blk(y, train)
         x_16 = y
 
         # dilated layer5 (3 blocks, 512, d4) -> x_high (h/8, 512)
-        for blk in _stage("layer5", 512, 3, 1, 4, 256, self.dtype):
+        for blk in _stage("layer5", 512, 3, 1, 4, 256, self.dtype,
+                          quant=self.quant):
             y = blk(y, train)
         x_high = y
 
@@ -145,30 +155,33 @@ class ResNet50OS8(nn.Module):
     channels. Taps: x_128 (64ch), x_64 (256ch), x_32 (512ch)."""
 
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False
                  ) -> Tuple[jnp.ndarray, ...]:
         y = TorchConv(64, 7, 2, 3, use_bias=False, dtype=self.dtype,
-                      name="conv1")(x)
+                      quant=self.quant, name="conv1")(x)
         y = TorchBatchNorm(dtype=self.dtype, name="bn1")(y, train)
         x_128 = nn.relu(y)
 
         y = max_pool_3x3_s2_p1(x_128)
         for blk in _stage("layer1", 64, 3, 1, 1, 64, self.dtype,
-                          block=Bottleneck):
+                          block=Bottleneck, quant=self.quant):
             y = blk(y, train)
         x_64 = y  # 256ch
 
         for blk in _stage("layer2", 128, 4, 2, 1, 256, self.dtype,
-                          block=Bottleneck):
+                          block=Bottleneck, quant=self.quant):
             y = blk(y, train)
         x_32 = y  # 512ch
 
-        for blk in _stage("layer4", 1024, 6, 1, 2, 512, self.dtype):
+        for blk in _stage("layer4", 1024, 6, 1, 2, 512, self.dtype,
+                          quant=self.quant):
             y = blk(y, train)
         x_16 = y
 
-        for blk in _stage("layer5", 2048, 3, 1, 4, 1024, self.dtype):
+        for blk in _stage("layer5", 2048, 3, 1, 4, 1024, self.dtype,
+                          quant=self.quant):
             y = blk(y, train)
         return y, x_128, x_64, x_32, x_16

@@ -41,15 +41,21 @@ class ZebraPoseNet(nn.Module):
     concat: bool = True
     output_kernel_size: int = 1
     dtype: Any = jnp.float32
+    # int8 serving mode: conv compute on the TPU int8 MXU path with an
+    # unchanged parameter tree (see layers._Int8Conv); head convs and
+    # transposed convs stay full-precision. Inference-only.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False
                  ) -> Dict[str, jnp.ndarray]:
         if self.resnet_layers == 34:
-            backbone = ResNet34OS8(dtype=self.dtype, name="resnet")
+            backbone = ResNet34OS8(dtype=self.dtype, quant=self.quant,
+                                   name="resnet")
             skip_lo_ch = 64
         elif self.resnet_layers == 50:
-            backbone = ResNet50OS8(dtype=self.dtype, name="resnet")
+            backbone = ResNet50OS8(dtype=self.dtype, quant=self.quant,
+                                   name="resnet")
             skip_lo_ch = 256  # x_64 width; ASPP_50's upsample_2 input
         else:
             raise NotImplementedError(
@@ -67,7 +73,8 @@ class ZebraPoseNet(nn.Module):
                 code_length=self.binary_code_length, base=self.base,
                 concat=self.concat,
                 output_kernel_size=self.output_kernel_size,
-                dtype=self.dtype, name="aspp")(x_high, x_128, x_64, train)
+                dtype=self.dtype, quant=self.quant,
+                name="aspp")(x_high, x_128, x_64, train)
             return {"mask": mask, "code": code}
 
         n_out = {
@@ -78,8 +85,8 @@ class ZebraPoseNet(nn.Module):
         out = ASPP(num_classes=n_out, concat=self.concat,
                    output_kernel_size=self.output_kernel_size,
                    skip_lo_ch=skip_lo_ch,
-                   dtype=self.dtype, name="aspp")(x_high, x_128, x_64,
-                                                  train)
+                   dtype=self.dtype, quant=self.quant,
+                   name="aspp")(x_high, x_128, x_64, train)
         if self.variant == "v1":
             return {"mask": out[..., :1], "code": out[..., 1:]}
         if self.variant == "v2":
@@ -90,7 +97,8 @@ class ZebraPoseNet(nn.Module):
         code = out[..., 1:]
         entire = ASPPv3(num_classes=1,
                         output_kernel_size=self.output_kernel_size,
-                        dtype=self.dtype, name="aspp_v3")(
+                        dtype=self.dtype, quant=self.quant,
+                        name="aspp_v3")(
             mask, x_high, x_128, x_64, train)
         return {"mask": mask, "entire_mask": entire, "code": code}
 
