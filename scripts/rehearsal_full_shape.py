@@ -169,6 +169,9 @@ def main():
                          "recall curve noisy (VERDICT r2 weak #6) — "
                          "120 stabilizes best-ckpt selection")
     ap.add_argument("--out", default="/tmp/zebra_rehearsal/run")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the latest checkpoint in --out and "
+                         "continue for --steps more steps")
     args = ap.parse_args()
 
     import jax
@@ -201,6 +204,7 @@ def main():
         "learning_rate": 2e-4, "num_workers": 8,
         "train_obj_visible_theshold": 0.2,
         "use_histgramm_weighted_binary_loss": True,
+        "load_checkpoint": args.resume,
     })
     res = build_train_setup(cfg, "ape", args.out,
                             pretrained_backbone=None,  # no .pth in env

@@ -98,3 +98,13 @@ def test_quant_other_variants_run(variant):
     v = m.init(jax.random.PRNGKey(0), x, train=False)
     out = m.apply(v, x, train=False)
     assert all(bool(jnp.all(jnp.isfinite(o))) for o in out.values())
+
+
+def test_quant_resnet50_runs():
+    """Bottleneck (r50) plumbing: quant model runs and stays finite."""
+    m = ZebraPoseNet(binary_code_length=4, variant="v2",
+                     resnet_layers=50, quant=True)
+    x = jnp.zeros((1, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    assert all(bool(jnp.all(jnp.isfinite(o))) for o in out.values())
