@@ -93,8 +93,9 @@ def test_cli_help_lists_subcommands(capsys):
     with pytest.raises(SystemExit):
         main(["--help"])
     out = capsys.readouterr().out
-    for cmd in ("train", "test", "vivo", "generate-mesh-code",
-                "generate-labels", "merge-csv", "model-cost"):
+    for cmd in ("train", "train-fleet", "test", "vivo",
+                "generate-mesh-code", "generate-labels", "merge-csv",
+                "model-cost"):
         assert cmd in out
 
 

@@ -71,6 +71,28 @@ def main(argv=None):
                          help="hold decoded full-res frames in host RAM "
                               "(skips per-draw imread/PNG decode)")
 
+    p_fleet = sub.add_parser(
+        "train-fleet",
+        help="train K objects simultaneously, one model per object, "
+             "sharded over the chip mesh (replaces the reference's "
+             "one-process-per-GPU CUDA_VISIBLE_DEVICES launches, "
+             "train_v2.py:2-5)")
+    p_fleet.add_argument("--cfg", required=True,
+                         help="reference-format config (shared)")
+    p_fleet.add_argument("--obj_names", required=True, nargs="+",
+                         help="K object names; K must divide the device "
+                              "count")
+    p_fleet.add_argument("--output_dir", default="runs")
+    p_fleet.add_argument("--variant", default="v2",
+                         choices=["v1", "v2", "v3"])
+    p_fleet.add_argument("--pretrained_backbone", default="auto")
+    p_fleet.add_argument("--from_scratch", action="store_true")
+    p_fleet.add_argument("--gamma", type=float, default=1.0)
+    p_fleet.add_argument("--max_steps", type=int, default=None)
+    p_fleet.add_argument("--log_freq", type=int, default=1000)
+    p_fleet.add_argument("--bf16", action="store_true")
+    p_fleet.add_argument("--cache_images", action="store_true")
+
     p_test = sub.add_parser("test", help="evaluate one object (test.py)")
     _add_common(p_test)
     p_test.add_argument("--ckpt_file", required=True)
@@ -190,6 +212,21 @@ def main(argv=None):
             best = fit(res, log_freq=args.log_freq,
                        max_steps=args.max_steps, val_mode=args.val_mode)
         print(f"best val recall: {best}")
+        return 0
+
+    if args.command == "train-fleet":
+        from zebrapose_tpu.train.fleet import build_fleet_setup, fit_fleet
+        out = os.path.join(args.output_dir, cfg.dataset_name)
+        fleet = build_fleet_setup(
+            cfg, args.obj_names, out, variant=args.variant,
+            pretrained_backbone=(None if args.from_scratch
+                                 else args.pretrained_backbone),
+            bf16=args.bf16, gamma=args.gamma, log_freq=args.log_freq,
+            cache_images=args.cache_images)
+        best = fit_fleet(fleet, log_freq=args.log_freq,
+                         max_steps=args.max_steps)
+        for name, b in zip(args.obj_names, best):
+            print(f"{name}: best val recall {b}")
         return 0
 
     if args.command in ("test", "vivo"):

@@ -20,16 +20,16 @@ from zebrapose_tpu.models.losses import CodeLossConfig, total_loss
 from zebrapose_tpu.train.state import TrainState
 
 
-@partial(jax.jit, static_argnames=("loss_cfg", "binary_loss_weight",
-                                   "predict_entire_mask"),
-         donate_argnames=("state",))
-def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-               loss_cfg: CodeLossConfig,
-               binary_loss_weight: float = 3.0,
-               predict_entire_mask: bool = True
-               ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+def _train_step_impl(state: TrainState, batch: Dict[str, jnp.ndarray],
+                     loss_cfg: CodeLossConfig,
+                     binary_loss_weight: float = 3.0,
+                     predict_entire_mask: bool = True
+                     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """batch: {"image" [N,H,W,3] (normalized), "mask" [N,h,w],
-    "entire_mask" [N,h,w], "code" [N,h,w,bits]}."""
+    "entire_mask" [N,h,w], "code" [N,h,w,bits]}.
+
+    Unjitted body so `train.fleet` can vmap it over a stacked fleet of
+    per-object states; use the jitted `train_step` everywhere else."""
 
     def loss_fn(params):
         outputs, mutated = state.apply_fn(
@@ -56,6 +56,11 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
         jnp.sum(g.astype(jnp.float32) ** 2)
         for g in jax.tree.leaves(grads)))
     return new_state, metrics
+
+
+train_step = partial(jax.jit, static_argnames=(
+    "loss_cfg", "binary_loss_weight", "predict_entire_mask"),
+    donate_argnames=("state",))(_train_step_impl)
 
 
 @partial(jax.jit, static_argnames=("loss_cfg", "binary_loss_weight",
