@@ -95,7 +95,7 @@ def test_cli_help_lists_subcommands(capsys):
     out = capsys.readouterr().out
     for cmd in ("train", "train-fleet", "test", "vivo",
                 "generate-mesh-code", "generate-labels", "merge-csv",
-                "model-cost"):
+                "model-cost", "export-ckpt"):
         assert cmd in out
 
 

@@ -145,6 +145,24 @@ def main(argv=None):
     p_merge.add_argument("csvs", nargs="+")
     p_merge.add_argument("--out", required=True)
 
+    p_exp = sub.add_parser(
+        "export-ckpt",
+        help="export a checkpoint (orbax dir or .pth) to the reference's "
+             "torch .pth format (utils_v2.save_checkpoint dict) so models "
+             "trained here load in the reference's tooling")
+    p_exp.add_argument("--ckpt_file", required=True,
+                       help="orbax checkpoint dir (best is preferred) or "
+                            "an existing .pth")
+    p_exp.add_argument("--out", required=True, help="output .pth path")
+    p_exp.add_argument("--variant", default="v2",
+                       choices=["v1", "v2", "v3"])
+    p_exp.add_argument("--resnet_layers", type=int, default=34,
+                       choices=[34, 50])
+    p_exp.add_argument("--code_length", type=int, default=16)
+    p_exp.add_argument("--crop", type=int, default=256)
+    p_exp.add_argument("--step", type=int, default=0)
+    p_exp.add_argument("--best_score", type=float, default=0.0)
+
     p_cost = sub.add_parser(
         "model-cost",
         help="FLOPs/params via XLA cost analysis (the reference's thop "
@@ -177,6 +195,25 @@ def main(argv=None):
             model, jnp.zeros((1, args.crop, args.crop, 3), jnp.float32))
         print(json.dumps({"params_M": round(cost["params"] / 1e6, 3),
                           "flops_G": round(cost["flops"] / 1e9, 3)}))
+        return 0
+
+    if args.command == "export-ckpt":
+        from zebrapose_tpu.eval.runner import load_model_variables
+        from zebrapose_tpu.models.convert_torch import (
+            save_reference_checkpoint)
+        from zebrapose_tpu.models.zebra_net import ZebraPoseNet
+        model = ZebraPoseNet(binary_code_length=args.code_length,
+                             variant=args.variant,
+                             resnet_layers=args.resnet_layers,
+                             concat=True)
+        variables = load_model_variables(
+            args.ckpt_file, model, args.variant, args.crop,
+            resnet_layers=args.resnet_layers)
+        save_reference_checkpoint(
+            args.out, variables, iteration_step=args.step,
+            best_score=args.best_score, variant=args.variant,
+            resnet_layers=args.resnet_layers)
+        print(f"exported {args.ckpt_file} -> {args.out}")
         return 0
 
     if args.command == "generate-mesh-code":

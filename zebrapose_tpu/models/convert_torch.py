@@ -113,17 +113,12 @@ class _TreeBuilder:
         return (unflatten_dict(self.params), unflatten_dict(self.stats))
 
 
-def convert_reference_state_dict(sd: Dict[str, Any], variant: str = "v2",
-                                 nonbinary: bool = False,
-                                 resnet_layers: int = 34
-                                 ) -> Dict[str, Any]:
-    """Reference BinaryCodeNet state_dict -> {"params", "batch_stats"}.
+def _walk_reference(tb, variant: str, nonbinary: bool,
+                    resnet_layers: int) -> None:
+    """Enumerate the flax<->torch leaf mapping through a builder.
 
-    `sd` is the torch `model_state_dict` (e.g. ckpt["model_state_dict"]).
-    """
-    sd = strip_ddp_prefix(sd)
-    tb = _TreeBuilder(sd)
-
+    The SAME walk drives both directions (import `_TreeBuilder`, export
+    `_ExportBuilder`), so the two can never disagree on the mapping."""
     # ---- backbone -------------------------------------------------------
     root = "net.resnet"
     tb.conv(("resnet", "conv1", "conv"), f"{root}.resnet.0")
@@ -149,8 +144,137 @@ def convert_reference_state_dict(sd: Dict[str, Any], variant: str = "v2",
             tb.conv(("aspp_v3", "conv_1x1_4", "conv"),
                     "net.aspp_v3.conv_1x1_4", bias=True)
 
+
+def convert_reference_state_dict(sd: Dict[str, Any], variant: str = "v2",
+                                 nonbinary: bool = False,
+                                 resnet_layers: int = 34
+                                 ) -> Dict[str, Any]:
+    """Reference BinaryCodeNet state_dict -> {"params", "batch_stats"}.
+
+    `sd` is the torch `model_state_dict` (e.g. ckpt["model_state_dict"]).
+    """
+    sd = strip_ddp_prefix(sd)
+    tb = _TreeBuilder(sd)
+    _walk_reference(tb, variant, nonbinary, resnet_layers)
     params, stats = tb.build()
     return {"params": params, "batch_stats": stats}
+
+
+class _ExportBuilder:
+    """Inverse of `_TreeBuilder`: flax variables -> torch state_dict keys.
+
+    Driven by the same `_walk_reference`; kernel transposes are the
+    inverse permutation (3,2,0,1) of the import's (2,3,1,0) for both
+    conv ([kh,kw,in,out] -> [out,in,kh,kw]) and transposed conv
+    ([kh,kw,out,in] -> [in,out,kh,kw])."""
+
+    def __init__(self, variables: Dict[str, Any]):
+        from flax.traverse_util import flatten_dict
+
+        self.params = flatten_dict(variables.get("params", {}))
+        self.stats = flatten_dict(variables.get("batch_stats", {}))
+        self.sd: Dict[str, np.ndarray] = {}
+
+    def _p(self, key: Tuple[str, ...]) -> np.ndarray:
+        return np.asarray(self.params[key])
+
+    def conv(self, ours: Tuple[str, ...], theirs: str, bias: bool = False):
+        self.sd[theirs + ".weight"] = \
+            self._p(ours + ("kernel",)).transpose(3, 2, 0, 1)
+        if bias:
+            self.sd[theirs + ".bias"] = self._p(ours + ("bias",))
+
+    def convt(self, ours: Tuple[str, ...], theirs: str):
+        self.sd[theirs + ".weight"] = \
+            self._p(ours + ("kernel",)).transpose(3, 2, 0, 1)
+
+    def bn(self, ours: Tuple[str, ...], theirs: str):
+        self.sd[theirs + ".weight"] = self._p(ours + ("scale",))
+        self.sd[theirs + ".bias"] = self._p(ours + ("bias",))
+        self.sd[theirs + ".running_mean"] = \
+            np.asarray(self.stats[ours + ("mean",)])
+        self.sd[theirs + ".running_var"] = \
+            np.asarray(self.stats[ours + ("var",)])
+        # torch BN tracks a batch counter; the flax side has no analog
+        # (momentum-EMA stats) — 0 is what a fresh torch module holds
+        self.sd[theirs + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+    def basic_block(self, ours: Tuple[str, ...], theirs: str,
+                    bottleneck: bool = False):
+        self.conv(ours + ("conv1", "conv"), theirs + ".conv1")
+        self.bn(ours + ("bn1", "bn"), theirs + ".bn1")
+        self.conv(ours + ("conv2", "conv"), theirs + ".conv2")
+        self.bn(ours + ("bn2", "bn"), theirs + ".bn2")
+        if bottleneck:
+            self.conv(ours + ("conv3", "conv"), theirs + ".conv3")
+            self.bn(ours + ("bn3", "bn"), theirs + ".bn3")
+        if ours + ("downsample_conv", "conv", "kernel") in self.params:
+            self.conv(ours + ("downsample_conv", "conv"),
+                      theirs + ".downsample.0")
+            self.bn(ours + ("downsample_bn", "bn"), theirs + ".downsample.1")
+
+    def conv_bn_relu(self, ours: Tuple[str, ...], conv_key: str,
+                     bn_key: str):
+        self.conv(ours + ("conv", "conv"), conv_key, bias=True)
+        self.bn(ours + ("bn", "bn"), bn_key)
+
+    def upsample(self, ours: Tuple[str, ...], theirs: str):
+        self.convt(ours + ("deconv",), theirs + ".0")
+        self.bn(ours + ("bn0", "bn"), theirs + ".1")
+        self.conv(ours + ("conv1", "conv"), theirs + ".3")
+        self.bn(ours + ("bn1", "bn"), theirs + ".4")
+        self.conv(ours + ("conv2", "conv"), theirs + ".6")
+        self.bn(ours + ("bn2", "bn"), theirs + ".7")
+
+    def aspp_trunk(self, ours_root: str, theirs_root: str, convs):
+        for name in convs:
+            self.conv_bn_relu((ours_root, name),
+                              f"{theirs_root}.{name}",
+                              f"{theirs_root}.bn_{name}")
+        self.upsample((ours_root, "upsample_1"), f"{theirs_root}.upsample_1")
+        self.upsample((ours_root, "upsample_2"), f"{theirs_root}.upsample_2")
+
+
+def export_reference_state_dict(variables: Dict[str, Any],
+                                variant: str = "v2",
+                                nonbinary: bool = False,
+                                resnet_layers: int = 34
+                                ) -> Dict[str, np.ndarray]:
+    """ZebraPoseNet variables -> a reference-format state_dict (numpy).
+
+    The exact inverse of `convert_reference_state_dict`: the result
+    loads strict into the reference's BinaryCodeNet_Deeplab modules
+    (float32 leaves; wrap values in torch.from_numpy / use
+    `save_reference_checkpoint` to write a loadable .pth). Enables
+    round-tripping models trained HERE back into the reference's
+    torch tooling (test.py:85-120 checkpoint loading)."""
+    eb = _ExportBuilder(variables)
+    _walk_reference(eb, variant, nonbinary, resnet_layers)
+    return eb.sd
+
+
+def save_reference_checkpoint(path: str, variables: Dict[str, Any],
+                              iteration_step: int = 0,
+                              best_score: float = 0.0,
+                              variant: str = "v2",
+                              nonbinary: bool = False,
+                              resnet_layers: int = 34) -> None:
+    """Write a reference-format .pth (utils_v2.save_checkpoint dict:
+    model_state_dict + iteration_step + best_score; optimizer and
+    lr_scheduler states are torch-specific and omitted — the reference
+    only needs them to RESUME training, not to evaluate)."""
+    import torch
+
+    sd = export_reference_state_dict(variables, variant=variant,
+                                     nonbinary=nonbinary,
+                                     resnet_layers=resnet_layers)
+    torch.save({
+        "model_state_dict": {
+            k: torch.from_numpy(np.ascontiguousarray(v)) if v.ndim
+            else torch.tensor(v) for k, v in sd.items()},
+        "iteration_step": int(iteration_step),
+        "best_score": float(best_score),
+    }, path)
 
 
 def convert_torchvision_resnet34(sd: Dict[str, Any]) -> Dict[str, Any]:
