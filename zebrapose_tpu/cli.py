@@ -163,6 +163,18 @@ def main(argv=None):
     p_exp.add_argument("--step", type=int, default=0)
     p_exp.add_argument("--best_score", type=float, default=0.0)
 
+    p_score = sub.add_parser(
+        "score-bop",
+        help="BOP19 challenge scoring (AR_vsd/mssd/mspd) of a submission "
+             "CSV against a BOP dataset tree — natively, no bop_toolkit")
+    p_score.add_argument("--csv", required=True,
+                         help="submission CSV (merge-csv output)")
+    p_score.add_argument("--bop_path", required=True)
+    p_score.add_argument("--dataset", required=True)
+    p_score.add_argument("--split", default="test")
+    p_score.add_argument("--no_vsd", action="store_true",
+                         help="skip VSD even if depth images exist")
+
     p_cost = sub.add_parser(
         "model-cost",
         help="FLOPs/params via XLA cost analysis (the reference's thop "
@@ -195,6 +207,14 @@ def main(argv=None):
             model, jnp.zeros((1, args.crop, args.crop, 3), jnp.float32))
         print(json.dumps({"params_M": round(cost["params"] / 1e6, 3),
                           "flops_G": round(cost["flops"] / 1e9, 3)}))
+        return 0
+
+    if args.command == "score-bop":
+        from zebrapose_tpu.eval.bop_score import score_csv
+        res = score_csv(args.csv, args.bop_path, args.dataset,
+                        split=args.split,
+                        with_vsd=False if args.no_vsd else None)
+        print(json.dumps(res, indent=2))
         return 0
 
     if args.command == "export-ckpt":
