@@ -93,9 +93,9 @@ def test_cli_help_lists_subcommands(capsys):
     with pytest.raises(SystemExit):
         main(["--help"])
     out = capsys.readouterr().out
-    for cmd in ("train", "train-fleet", "test", "vivo",
+    for cmd in ("train", "train-fleet", "test", "test-fleet", "vivo",
                 "generate-mesh-code", "generate-labels", "merge-csv",
-                "model-cost", "export-ckpt"):
+                "model-cost", "export-ckpt", "score-bop"):
         assert cmd in out
 
 

@@ -112,6 +112,22 @@ def main(argv=None):
     p_test.add_argument("--profile", default=None,
                         help="write a JAX profiler trace to this dir")
 
+    p_tf = sub.add_parser(
+        "test-fleet",
+        help="evaluate K objects with one fleet program (per-object "
+             "CSV + metrics, one merged submission CSV)")
+    p_tf.add_argument("--cfg", required=True)
+    p_tf.add_argument("--obj_names", required=True, nargs="+")
+    p_tf.add_argument("--ckpt_files", required=True, nargs="+",
+                      help="one checkpoint (orbax dir or .pth) per object")
+    p_tf.add_argument("--output_dir", default="eval_out")
+    p_tf.add_argument("--variant", default="v2",
+                      choices=["v1", "v2", "v3"])
+    p_tf.add_argument("--batch_size", type=int, default=16)
+    p_tf.add_argument("--max_samples", type=int, default=None)
+    p_tf.add_argument("--int8", action="store_true",
+                      help="conv compute on the TPU int8 MXU path")
+
     p_vivo = sub.add_parser("vivo",
                             help="multi-instance eval (test_vivo)")
     _add_common(p_vivo)
@@ -284,6 +300,23 @@ def main(argv=None):
                          max_steps=args.max_steps)
         for name, b in zip(args.obj_names, best):
             print(f"{name}: best val recall {b}")
+        return 0
+
+    if args.command == "test-fleet":
+        from zebrapose_tpu.eval.fleet_serve import run_test_fleet
+        from zebrapose_tpu.utils.logging import TeeOutput, prepare_eval_dir
+        items = dict(cfg.to_dict())
+        items.update({"obj_names": " ".join(args.obj_names),
+                      "checkpoint_files": " ".join(args.ckpt_files),
+                      "command": "test-fleet"})
+        run_dir = prepare_eval_dir(args.output_dir, items)
+        with TeeOutput(os.path.join(run_dir, "log.txt")):
+            print(f"eval run dir: {run_dir}")
+            res = run_test_fleet(
+                cfg, args.obj_names, args.ckpt_files, run_dir,
+                variant=args.variant, batch_size=args.batch_size,
+                int8=args.int8, max_samples=args.max_samples)
+            print(json.dumps(res, indent=2))
         return 0
 
     if args.command in ("test", "vivo"):

@@ -23,6 +23,7 @@ model axis (collective-free; see fleet.py on why not GSPMD-vmap).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -114,3 +115,120 @@ def make_fleet_eval_step(forward_fn, lut_points: np.ndarray,
                 raw, final_bbox, Ks, obj_keys, variables, lp, lv)
 
     return step
+
+
+FEED_KEYS = ("rgb", "label", "mask", "entire_mask", "roi_param", "valid")
+
+
+def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
+                   output_dir: str, variant: str = "v2",
+                   batch_size: int = 16,
+                   pnp_cfg: Optional[PnPConfig] = None,
+                   int8: bool = False,
+                   max_samples: Optional[int] = None,
+                   mesh: Optional[Mesh] = None) -> dict:
+    """Evaluate K objects with ONE program (the fleet analog of
+    runner.run_test without refine/debug/mask-rcnn): per-object BOP
+    datasets advance in lockstep (short datasets pad with valid=0
+    batches), every step is one fleet_eval_step dispatch, and each
+    object gets the standard artifact set (BOP CSV + ADD metrics) plus
+    one merged submission CSV."""
+    from zebrapose_tpu.data.bop_writer import (merge_csv,
+                                               parse_sample_ids,
+                                               write_csv)
+    from zebrapose_tpu.eval.evaluate import (_pad_to, pose_errors,
+                                             summarize)
+    from zebrapose_tpu.eval.runner import (load_model_variables,
+                                           prepare_object_eval)
+    from zebrapose_tpu.models.zebra_net import ZebraPoseNet
+
+    if len(ckpt_files) != len(obj_names):
+        raise ValueError("need one checkpoint per object")
+    oes = [prepare_object_eval(cfg, n, max_samples=max_samples)
+           for n in obj_names]
+    for n, oe in zip(obj_names, oes):
+        if len(oe.dataset) == 0:
+            raise ValueError(f"object {n}: empty eval split")
+
+    model = ZebraPoseNet(
+        binary_code_length=cfg.number_of_itration,
+        base=cfg.divide_number_each_itration, variant=variant,
+        resnet_layers=cfg.resnet_layer,
+        concat=cfg.concat_encoder_decoder,
+        output_kernel_size=cfg.output_kernel_size, quant=int8)
+    variables = stack_variables([
+        load_model_variables(ck, model, variant,
+                             cfg.BoundingBox_CropSize_image,
+                             resnet_layers=cfg.resnet_layer,
+                             nonbinary=cfg.divide_number_each_itration
+                             != 2)
+        for ck in ckpt_files])
+    lp, lv = stack_luts([oe.lut for oe in oes])
+    step = make_fleet_eval_step(
+        lambda b, v: model.apply(v, b["image"], train=False), lp, lv,
+        crop_img=cfg.BoundingBox_CropSize_image,
+        crop_gt=cfg.BoundingBox_CropSize_GT,
+        base=cfg.divide_number_each_itration,
+        n_bits=cfg.number_of_itration,
+        resize_method=cfg.resize_method,
+        loss_type=cfg.BinaryCode_Loss_Type,
+        pnp_cfg=pnp_cfg or PnPConfig(), mesh=mesh)
+
+    k = len(oes)
+    lens = [len(oe.dataset) for oe in oes]
+    n_max = max(lens)
+    Rs = [np.zeros((n, 3, 3), np.float32) for n in lens]
+    ts = [np.zeros((n, 3), np.float32) for n in lens]
+    ok = [np.zeros((n,), bool) for n in lens]
+    key = jax.random.PRNGKey(0)
+    zero_raw = None
+    for start in range(0, n_max, batch_size):
+        feeds = []
+        for oe, n in zip(oes, lens):
+            idx = list(range(start, min(start + batch_size, n)))
+            if idx:
+                raw = _pad_to(oe.dataset.collate(idx), batch_size)
+                if zero_raw is None:
+                    zero_raw = {kk: np.zeros_like(v)
+                                for kk, v in raw.items()}
+            else:
+                raw = zero_raw  # valid == 0 everywhere: pure padding
+            feeds.append(raw)
+        cat = {kk: np.concatenate([f[kk] for f in feeds])
+               for kk in FEED_KEYS + ("final_bbox", "K")}
+        out = step({kk: cat[kk] for kk in FEED_KEYS},
+                   jnp.asarray(cat["final_bbox"].astype(np.int32)),
+                   jnp.asarray(cat["K"]),
+                   jax.random.fold_in(key, start), variables,
+                   n_models=k)
+        R_b, t_b, ok_b, _ = (np.asarray(o) for o in out)
+        for i, n in enumerate(lens):
+            m = max(0, min(batch_size, n - start))
+            if m:
+                Rs[i][start:start + m] = R_b[i, :m]
+                ts[i][start:start + m] = t_b[i, :m]
+                ok[i][start:start + m] = ok_b[i, :m]
+
+    os.makedirs(output_dir, exist_ok=True)
+    per_object = {}
+    csvs = []
+    for i, (name, oe) in enumerate(zip(obj_names, oes)):
+        for j in range(lens[i]):
+            if not ok[i][j]:  # reference: identity R / zero t in CSV
+                Rs[i][j] = np.eye(3)
+                ts[i][j] = 0
+        errors = pose_errors(oe.dataset, Rs[i], ts[i], ok[i],
+                             oe.vertices, oe.symmetric)
+        metrics = summarize(errors, oe.diameter,
+                            "ADD-S" if oe.symmetric else "ADD")
+        ids = parse_sample_ids(oe.dataset.rgb_files)
+        csvs.append(write_csv(
+            os.path.join(output_dir, "pose_result_bop"),
+            f"{cfg.dataset_name}_{name}", oe.obj_id,
+            [s for s, _ in ids], [im for _, im in ids], list(Rs[i]),
+            [t.reshape(3, 1) for t in ts[i]],
+            oe.scores if oe.scores is not None else [1.0] * lens[i]))
+        per_object[name] = metrics
+    merged = merge_csv(csvs, os.path.join(
+        output_dir, f"{cfg.dataset_name}_fleet.csv"))
+    return {"per_object": per_object, "merged_csv": merged}

@@ -126,21 +126,24 @@ def refine_poses(dataset: CropDatasetHost, Rs, ts, ok, vis_masks,
             continue
 
 
-def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
-             output_dir: str, ignore_bit: int = 0, variant: str = "v2",
-             debug: bool = False, batch_size: int = 16,
-             pnp_cfg: Optional[PnPConfig] = None,
-             gt_dir_suffix: str = "_GT_v2",
-             max_samples: Optional[int] = None,
-             mask_rcnn: bool = False,
-             int8: bool = False) -> Dict[str, float]:
-    """Single-instance evaluation of one object (test.py main).
+class ObjectEval:
+    """Everything run_test / run_test_fleet need per object."""
 
-    mask_rcnn: use the detector's RLE segmentation in place of the
-    network's mask head (reference test_for_mask_rcnn.py).
-    int8: run conv compute on the TPU int8 MXU path (serving mode; same
-    checkpoint, per-channel weight / dynamic activation quantization —
-    models/layers._Int8Conv)."""
+    def __init__(self, obj_id, dataset, scores, lut, mesh, vertices,
+                 diameter, symmetric, samples):
+        self.obj_id, self.dataset, self.scores = obj_id, dataset, scores
+        self.lut, self.mesh = lut, mesh
+        self.vertices, self.diameter = vertices, diameter
+        self.symmetric, self.samples = symmetric, samples
+
+
+def prepare_object_eval(cfg: ZebraConfig, obj_name: str,
+                        gt_dir_suffix: str = "_GT_v2",
+                        max_samples: Optional[int] = None,
+                        mask_rcnn: bool = False) -> ObjectEval:
+    """Assemble one object's eval inputs: BOP walk (+BOP-challenge
+    targets), detection ingestion (+ycbv keyframes), dataset, LUT, mesh
+    geometry (test.py:85-240 setup)."""
     obj_id = lookup_obj_id(cfg.dataset_name, obj_name)
 
     if cfg.bop_challange:
@@ -189,8 +192,33 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
         cfg.bop_path, cfg.dataset_name, "models_GT_color",
         f"Class_CorresPoint{obj_id:06d}.txt"))
     mesh = bop_io.load_ply(samples.model_plys[obj_id])
-    vertices = mesh["pts"].astype(np.float32)
-    diameter = float(samples.model_info[str(obj_id)]["diameter"])
+    return ObjectEval(
+        obj_id, dataset, scores, lut, mesh,
+        mesh["pts"].astype(np.float32),
+        float(samples.model_info[str(obj_id)]["diameter"]),
+        is_symmetric(cfg.dataset_name, obj_name), samples)
+
+
+def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
+             output_dir: str, ignore_bit: int = 0, variant: str = "v2",
+             debug: bool = False, batch_size: int = 16,
+             pnp_cfg: Optional[PnPConfig] = None,
+             gt_dir_suffix: str = "_GT_v2",
+             max_samples: Optional[int] = None,
+             mask_rcnn: bool = False,
+             int8: bool = False) -> Dict[str, float]:
+    """Single-instance evaluation of one object (test.py main).
+
+    mask_rcnn: use the detector's RLE segmentation in place of the
+    network's mask head (reference test_for_mask_rcnn.py).
+    int8: run conv compute on the TPU int8 MXU path (serving mode; same
+    checkpoint, per-channel weight / dynamic activation quantization —
+    models/layers._Int8Conv)."""
+    oe = prepare_object_eval(cfg, obj_name, gt_dir_suffix=gt_dir_suffix,
+                             max_samples=max_samples, mask_rcnn=mask_rcnn)
+    obj_id, dataset, scores = oe.obj_id, oe.dataset, oe.scores
+    lut, mesh, samples = oe.lut, oe.mesh, oe.samples
+    vertices, diameter = oe.vertices, oe.diameter
 
     model = ZebraPoseNet(
         binary_code_length=cfg.number_of_itration,
@@ -216,7 +244,7 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
         return_codes=debug, mask_from_dataset=mask_rcnn,
         preprocess_gt=False)
 
-    symmetric = is_symmetric(cfg.dataset_name, obj_name)
+    symmetric = oe.symmetric
 
     if cfg.refine or debug:
         out = run_inference(dataset, eval_step, batch_size,
