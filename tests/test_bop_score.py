@@ -145,6 +145,31 @@ def test_score_csv_end_to_end(tmp_path, bop_tree):
                                         + res2["AR_mspd"]) / 2)
 
 
+def test_score_csv_respects_targets_file(tmp_path, bop_tree):
+    """test_targets_bop19.json restricts the target set: only listed
+    (scene, im, obj) triples count, both as denominators and as GT."""
+    root, poses = bop_tree
+    targets = [{"scene_id": 1, "im_id": 0, "obj_id": 1, "inst_count": 1},
+               {"scene_id": 1, "im_id": 1, "obj_id": 2, "inst_count": 1}]
+    tf = root / "lmo" / "test_targets_bop19.json"
+    tf.write_text(json.dumps(targets))
+    try:
+        rows = []
+        R, t = poses[(0, 1)]
+        rows.append((1, 0, 1, 0.9, R, t))  # in targets, exact
+        R, t = poses[(2, 2)]
+        rows.append((1, 2, 2, 0.9, R, t))  # NOT in targets -> ignored
+        csv = str(tmp_path / "t.csv")
+        _write_csv(csv, rows)
+        res = score_csv(csv, str(root), "lmo", with_vsd=False)
+        assert res["n_targets"] == 2
+        assert res["per_object"][1]["AR"] == pytest.approx(1.0)
+        assert res["per_object"][2]["AR"] == 0.0
+        assert res["AR_mssd"] == pytest.approx(0.5)
+    finally:
+        os.remove(tf)
+
+
 def test_score_csv_cli(tmp_path, bop_tree, capsys):
     from zebrapose_tpu.cli import main
     root, poses = bop_tree
