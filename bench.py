@@ -168,9 +168,39 @@ def _trained_mask_section(batch_size: int = 64, iters: int = 10):
         return {"note": f"trained-mask section failed: {e!r}"}
 
 
+def _probe_device(timeout_s: float = 180.0) -> bool:
+    """Fail fast if the device never answers (the axon tunnel can wedge:
+    a killed client's hung program blocks the remote queue indefinitely,
+    observed 2026-08-17). A tiny fetch runs in a daemon thread; if it
+    does not return within timeout_s the bench reports an error JSON
+    line instead of hanging the caller forever."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax.numpy as jnp
+
+        float(jnp.arange(4.0).sum())
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok.is_set()
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    if not _probe_device():
+        print(json.dumps({
+            "metric": "full_pipeline_crops_per_sec_per_chip", "value": 0,
+            "unit": "crops/s", "vs_baseline": 0,
+            "error": "device unreachable: a trivial fetch timed out "
+                     "(axon tunnel wedged?); see CLAUDE.md"}))
+        return 1
 
     # persistent compilation cache: first-ever run pays the (tunnel-
     # dependent, multi-minute) XLA compile; subsequent runs start hot
@@ -298,4 +328,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
