@@ -117,6 +117,29 @@ def test_mssd_mspd_golden(info):
         np.testing.assert_allclose(ours_spd[i], theirs_spd, rtol=2e-4)
 
 
+def test_add_adi_golden_vs_vendored_pysixd():
+    """ops/metrics.add_error/adi_error were oracled vs scipy cKDTree;
+    pin them to the reference's own vendored pose_error.add/adi too."""
+    from zebrapose_tpu.ops.metrics import add_error, adi_error
+
+    rng = np.random.default_rng(8)
+    pts = rng.uniform(-40, 40, (211, 3))
+    R_est, t_est, R_gt, t_gt = _fuzz_poses(rng, 5)
+    for i in range(5):
+        ours_add = float(add_error(
+            np.float32(R_est[i]), np.float32(t_est[i]),
+            np.float32(R_gt[i]), np.float32(t_gt[i]), np.float32(pts)))
+        ours_adi = float(adi_error(
+            np.float32(R_est[i]), np.float32(t_est[i]),
+            np.float32(R_gt[i]), np.float32(t_gt[i]), np.float32(pts)))
+        theirs_add = ref_pe.add(R_est[i], t_est[i].reshape(3, 1),
+                                R_gt[i], t_gt[i].reshape(3, 1), pts)
+        theirs_adi = ref_pe.adi(R_est[i], t_est[i].reshape(3, 1),
+                                R_gt[i], t_gt[i].reshape(3, 1), pts)
+        np.testing.assert_allclose(ours_add, theirs_add, rtol=1e-4)
+        np.testing.assert_allclose(ours_adi, theirs_adi, rtol=1e-4)
+
+
 class _NativeRendererShim:
     """Adapter: our C++ rasterizer behind the reference renderer's
     render_object protocol (pose_error.py:62-64)."""
