@@ -170,6 +170,39 @@ def test_score_csv_respects_targets_file(tmp_path, bop_tree):
         os.remove(tf)
 
 
+def test_score_csv_inst_count_truncates_estimates(tmp_path, bop_tree):
+    """Official BOP19: only the top-inst_count estimates by score are
+    evaluated per target — a low-score exact pose behind a high-score
+    garbage one must NOT count when inst_count == 1."""
+    root, poses = bop_tree
+    targets = [{"scene_id": 1, "im_id": 0, "obj_id": 2, "inst_count": 1}]
+    tf = root / "lmo" / "test_targets_bop19.json"
+    tf.write_text(json.dumps(targets))
+    try:
+        R, t = poses[(0, 2)]
+        rows = [(1, 0, 2, 0.9, R, t + np.array([500.0, 0, 0])),  # junk
+                (1, 0, 2, 0.1, R, t)]                            # exact
+        csv = str(tmp_path / "i.csv")
+        _write_csv(csv, rows)
+        res = score_csv(csv, str(root), "lmo", with_vsd=False)
+        assert res["AR"] == 0.0  # exact est truncated away
+    finally:
+        os.remove(tf)
+
+
+def test_score_csv_no_targets_is_loud(tmp_path, bop_tree):
+    root, poses = bop_tree
+    tf = root / "lmo" / "test_targets_bop19.json"
+    tf.write_text(json.dumps([]))
+    try:
+        csv = str(tmp_path / "e.csv")
+        _write_csv(csv, [])
+        with pytest.raises(ValueError, match="no GT targets"):
+            score_csv(csv, str(root), "lmo", with_vsd=False)
+    finally:
+        os.remove(tf)
+
+
 def test_score_csv_cli(tmp_path, bop_tree, capsys):
     from zebrapose_tpu.cli import main
     root, poses = bop_tree

@@ -99,6 +99,21 @@ def test_fleet_serve_shard_map_path_matches(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fleet_serve_indivisible_fleet_raises(tmp_path):
+    (lut1, lut2), feed, bbox, K = _setup(tmp_path)
+    lp, lv = stack_luts([lut1, lut2, lut1])
+    mesh = make_fleet_mesh(jax.devices()[:2])
+    step = make_fleet_eval_step(
+        _gt_oracle_forward, lp, lv, mesh=mesh, crop_img=128, crop_gt=64,
+        base=2, n_bits=N_BITS, resize_method="crop_square_resize",
+        loss_type="BCE", pnp_cfg=PNP, preprocess_gt=True)
+    cat = {kk: jnp.concatenate([v] * 3) for kk, v in feed.items()}
+    variables = stack_variables([{"w": jnp.zeros(1)}] * 3)
+    with pytest.raises(ValueError, match="not divisible"):
+        step(cat, jnp.concatenate([bbox] * 3), jnp.concatenate([K] * 3),
+             jax.random.PRNGKey(0), variables, n_models=3)
+
+
 def test_stack_luts_rejects_mismatched_code_spaces():
     l1 = CorrespondenceLUT(np.zeros((16, 3), np.float32),
                            np.ones(16, bool), base=2, n_digits=4)

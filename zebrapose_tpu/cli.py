@@ -80,8 +80,9 @@ def main(argv=None):
     p_fleet.add_argument("--cfg", required=True,
                          help="reference-format config (shared)")
     p_fleet.add_argument("--obj_names", required=True, nargs="+",
-                         help="K object names; K must divide the device "
-                              "count")
+                         help="K object names; the device count must "
+                              "divide K (each device trains whole "
+                              "objects)")
     p_fleet.add_argument("--output_dir", default="runs")
     p_fleet.add_argument("--variant", default="v2",
                          choices=["v1", "v2", "v3"])
@@ -178,6 +179,9 @@ def main(argv=None):
     p_exp.add_argument("--crop", type=int, default=256)
     p_exp.add_argument("--step", type=int, default=0)
     p_exp.add_argument("--best_score", type=float, default=0.0)
+    p_exp.add_argument("--base", type=int, default=2,
+                       help="divide_number_each_itration; != 2 selects "
+                            "the non-binary head layout")
 
     p_score = sub.add_parser(
         "score-bop",
@@ -238,17 +242,18 @@ def main(argv=None):
         from zebrapose_tpu.models.convert_torch import (
             save_reference_checkpoint)
         from zebrapose_tpu.models.zebra_net import ZebraPoseNet
+        nonbinary = args.base != 2
         model = ZebraPoseNet(binary_code_length=args.code_length,
-                             variant=args.variant,
+                             base=args.base, variant=args.variant,
                              resnet_layers=args.resnet_layers,
                              concat=True)
         variables = load_model_variables(
             args.ckpt_file, model, args.variant, args.crop,
-            resnet_layers=args.resnet_layers)
+            resnet_layers=args.resnet_layers, nonbinary=nonbinary)
         save_reference_checkpoint(
             args.out, variables, iteration_step=args.step,
             best_score=args.best_score, variant=args.variant,
-            resnet_layers=args.resnet_layers)
+            nonbinary=nonbinary, resnet_layers=args.resnet_layers)
         print(f"exported {args.ckpt_file} -> {args.out}")
         return 0
 

@@ -152,12 +152,20 @@ def score_csv(csv_path: str, bop_path: str, dataset: str,
                 oid = int(gt["obj_id"])
                 if targets and (sid, im_id, oid) not in targets:
                     continue
-                if sgti[im_id][gi].get("visib_fract", 1.0) <= VISIB_GT_MIN:
+                # bop19 validity: visib_fract >= visib_gt_min (the
+                # boundary value 0.1 COUNTS)
+                if sgti[im_id][gi].get("visib_fract", 1.0) < VISIB_GT_MIN:
                     continue
                 by_obj[oid].append(gt)
             for oid, gts in by_obj.items():
                 n_gt_total[oid] += len(gts)
                 cam = scam[im_id]
+                cand = ests.get((sid, im_id, oid), [])
+                if targets:
+                    # official BOP19: only the top-inst_count estimates
+                    # by score are evaluated per target
+                    n_keep = targets[(sid, im_id, oid)]
+                    cand = sorted(cand, key=lambda e: -e["score"])[:n_keep]
                 pairs[oid].append({
                     "scene_id": sid, "im_id": im_id, "scene_dir": sdir,
                     "K": np.asarray(cam["cam_K"],
@@ -168,14 +176,29 @@ def score_csv(csv_path: str, bop_path: str, dataset: str,
                              for g in gts],
                     "gt_t": [np.asarray(g["cam_t_m2c"], np.float64)
                              for g in gts],
-                    "ests": ests.get((sid, im_id, oid), [])})
+                    "ests": cand})
+
+    if not any(n_gt_total.values()):
+        raise ValueError(
+            "no GT targets: the target list / visibility filter left "
+            "nothing to score (check test_targets_bop19.json and the "
+            f"'{split}' split under {ds_dir})")
+
+    # Decide VSD availability ONCE, up front: partial depth coverage
+    # must not make per-object ARs incomparable (3-component for early
+    # objects, 2-component later).
+    vsd_enabled = with_vsd
+    if vsd_enabled is None:
+        vsd_enabled = all(
+            os.path.exists(os.path.join(
+                rec["scene_dir"], "depth", f"{rec['im_id']:06d}.png"))
+            for recs in pairs.values() for rec in recs)
 
     # ---- per-object batched errors + matching --------------------------
     per_object: Dict[int, Dict] = {}
     pooled = {"mssd": [0] * len(THETAS), "mspd": [0] * len(MSPD_THETAS),
               "vsd": [0] * (len(TAUS) * len(THETAS))}
     pooled_gt = 0
-    vsd_enabled = with_vsd
 
     for oid, recs in sorted(pairs.items()):
         mesh = bop_io.load_ply(plys[oid])
@@ -211,13 +234,10 @@ def score_csv(csv_path: str, bop_path: str, dataset: str,
             e_mspd = np.asarray(mspd_batch(Re, te, Rg, tg, Kf, pts,
                                            sym_R, sym_t))
             e_vsd = _pair_vsd(recs, index, pts, faces, diameter,
-                              vsd_delta) if vsd_enabled is not False \
-                else None
-            if e_vsd is None:
-                vsd_enabled = False
+                              vsd_delta) if vsd_enabled else None
         else:
             e_mssd = e_mspd = np.zeros((0,))
-            e_vsd = None
+            e_vsd = np.zeros((0, len(TAUS))) if vsd_enabled else None
 
         obj = {"mssd": [0] * len(THETAS), "mspd": [0] * len(MSPD_THETAS),
                "vsd": [0] * (len(TAUS) * len(THETAS))}
@@ -250,7 +270,7 @@ def score_csv(csv_path: str, bop_path: str, dataset: str,
             "AR_mspd": float(np.mean([m / n_gt for m in obj["mspd"]])),
             "n_targets": n_gt}
         comps = [entry["AR_mssd"], entry["AR_mspd"]]
-        if e_vsd is not None:
+        if vsd_enabled:
             entry["AR_vsd"] = float(np.mean(
                 [m / n_gt for m in obj["vsd"]]))
             comps.append(entry["AR_vsd"])
@@ -266,7 +286,7 @@ def score_csv(csv_path: str, bop_path: str, dataset: str,
                                   for m in pooled["mspd"]])),
         "per_object": per_object, "n_targets": pooled_gt}
     comps = [out["AR_mssd"], out["AR_mspd"]]
-    if vsd_enabled is not False and pooled_gt:
+    if vsd_enabled:
         out["AR_vsd"] = float(np.mean([m / pooled_gt
                                        for m in pooled["vsd"]]))
         comps.append(out["AR_vsd"])
@@ -275,10 +295,11 @@ def score_csv(csv_path: str, bop_path: str, dataset: str,
 
 
 def _pair_vsd(recs: List[dict], index, pts, faces, diameter: float,
-              delta: float) -> Optional[np.ndarray]:
+              delta: float) -> np.ndarray:
     """Per-pair VSD errors [n_pairs, len(TAUS)] with one render per
     distinct pose (not per pair) and one jitted cost program per image.
-    Returns None when any needed depth image is missing."""
+    Depth availability is prechecked by score_csv; a file vanishing
+    between the check and the read raises."""
     import jax.numpy as jnp
 
     from zebrapose_tpu.native import render_label
@@ -292,7 +313,10 @@ def _pair_vsd(recs: List[dict], index, pts, faces, diameter: float,
         depth_test = _load_depth(rec["scene_dir"], rec["im_id"],
                                  rec["depth_scale"])
         if depth_test is None:
-            return None
+            raise FileNotFoundError(
+                f"depth image for scene {rec['scene_id']} im "
+                f"{rec['im_id']} disappeared after the availability "
+                "pre-check")
         h, w = depth_test.shape
         K = rec["K"]
 

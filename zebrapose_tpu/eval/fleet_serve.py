@@ -107,6 +107,11 @@ def make_fleet_eval_step(forward_fn, lut_points: np.ndarray,
             jnp.arange(n_models))
         if mesh is None or mesh.devices.size == 1:
             return local(raw, final_bbox, Ks, obj_keys, variables, lp, lv)
+        if n_models % mesh.devices.size:
+            raise ValueError(
+                f"fleet size {n_models} not divisible by mesh size "
+                f"{mesh.devices.size}; serve K%D==0 objects or pass a "
+                "sub-mesh")
         spec = P(MODEL_AXIS)
         return jax.shard_map(
             local, mesh=mesh,
@@ -144,7 +149,17 @@ def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
 
     if len(ckpt_files) != len(obj_names):
         raise ValueError("need one checkpoint per object")
-    oes = [prepare_object_eval(cfg, n, max_samples=max_samples)
+    # walk the split once and share it across objects (the non-challenge
+    # walk is object-independent; prepare_object_eval rebuilds its own
+    # in bop_challange mode)
+    shared = None
+    if not cfg.bop_challange:
+        from zebrapose_tpu.data import bop_io
+        shared = bop_io.get_dataset(cfg.bop_path, cfg.dataset_name,
+                                    train=False, eval_model=True,
+                                    data_folder=cfg.test_folder)
+    oes = [prepare_object_eval(cfg, n, max_samples=max_samples,
+                               samples=shared)
            for n in obj_names]
     for n, oe in zip(obj_names, oes):
         if len(oe.dataset) == 0:

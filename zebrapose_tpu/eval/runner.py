@@ -140,17 +140,23 @@ class ObjectEval:
 def prepare_object_eval(cfg: ZebraConfig, obj_name: str,
                         gt_dir_suffix: str = "_GT_v2",
                         max_samples: Optional[int] = None,
-                        mask_rcnn: bool = False) -> ObjectEval:
+                        mask_rcnn: bool = False,
+                        samples=None) -> ObjectEval:
     """Assemble one object's eval inputs: BOP walk (+BOP-challenge
     targets), detection ingestion (+ycbv keyframes), dataset, LUT, mesh
-    geometry (test.py:85-240 setup)."""
+    geometry (test.py:85-240 setup).
+
+    samples: a pre-walked BopSamples to reuse across objects (the walk
+    is object-independent in the non-challenge path; run_test_fleet
+    walks once for K objects). Ignored-and-rebuilt in BOP-challenge
+    mode, whose walk is per-object."""
     obj_id = lookup_obj_id(cfg.dataset_name, obj_name)
 
     if cfg.bop_challange:
         samples = bop_io.get_bop_challenge_test_data(
             cfg.bop_path, cfg.dataset_name, obj_id,
             data_folder=cfg.test_folder)
-    else:
+    elif samples is None:
         samples = bop_io.get_dataset(cfg.bop_path, cfg.dataset_name,
                                      train=False, eval_model=True,
                                      data_folder=cfg.test_folder)
