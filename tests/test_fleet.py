@@ -197,6 +197,33 @@ def test_fit_fleet_cadence(tmp_path):
     assert l_ape != l_cat
 
 
+def test_fit_fleet_resume(tmp_path):
+    """Per-member rolling checkpoints written from the SHARDED fleet
+    state restore into fresh members and the fleet continues: the
+    index_state -> ckpt.save -> restore -> stack_states round trip."""
+    scene = _build_scene(tmp_path, n_imgs=2)
+    mesh = make_fleet_mesh(jax.devices()[:2])
+
+    members = [_member(tmp_path, scene, 8, "a"),
+               _member(tmp_path, scene, 9, "b")]
+    state = shard_fleet_state(mesh,
+                              stack_states([m.state for m in members]))
+    fit_fleet(FleetResources(members=members, mesh=mesh, state=state),
+              log_freq=5, validate=False, max_steps=5)
+
+    members2 = [_member(tmp_path, scene, 10, "a"),
+                _member(tmp_path, scene, 11, "b")]
+    for m in members2:  # same ckpt dirs (same member names)
+        m.state = m.ckpt.restore(m.state)
+        assert int(m.state.step) == 5
+    state2 = shard_fleet_state(mesh,
+                               stack_states([m.state for m in members2]))
+    fit_fleet(FleetResources(members=members2, mesh=mesh, state=state2),
+              log_freq=5, validate=False, max_steps=5)
+    for m in members2:
+        assert m.ckpt.latest_step() == 10
+
+
 def test_fit_fleet_rejects_mismatched_steps(tmp_path):
     scene = _build_scene(tmp_path, n_imgs=2)
     members = [_member(tmp_path, scene, 6, "a"),
