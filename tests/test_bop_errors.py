@@ -203,6 +203,25 @@ def test_vsd_golden(cost_type):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_vsd_empty_union_is_one():
+    """Both renders empty (object far behind the far plane / out of
+    frame) -> visib union 0 -> error 1.0 for every tau
+    (pose_error.py:113-114)."""
+    import jax.numpy as jnp
+
+    from zebrapose_tpu.ops.bop_errors import _vsd_costs
+
+    n, h, w = 2, 16, 16
+    zeros = jnp.zeros((n, h, w), jnp.float32)
+    K = jnp.tile(jnp.asarray(np.array(
+        [[100.0, 0, 8], [0, 100.0, 8], [0, 0, 1]], np.float32)),
+        (n, 1, 1))
+    taus = jnp.asarray(np.arange(0.05, 0.51, 0.05, dtype=np.float32))
+    errs = np.asarray(_vsd_costs(zeros, zeros, zeros, K, taus, 15.0,
+                                 jnp.ones((n,), jnp.float32)))
+    np.testing.assert_array_equal(errs, np.ones((n, len(taus))))
+
+
 def test_bop19_average_recalls():
     # hand-checked: errors straddle the thresholds
     errs_mssd = np.array([0.04 * 80, 0.26 * 80, np.inf])
