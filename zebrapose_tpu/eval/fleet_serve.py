@@ -125,6 +125,51 @@ def make_fleet_eval_step(forward_fn, lut_points: np.ndarray,
 FEED_KEYS = ("rgb", "label", "mask", "entire_mask", "roi_param", "valid")
 
 
+def fleet_infer(datasets, fleet_step, variables, batch_size: int,
+                key) -> Tuple[List[np.ndarray], List[np.ndarray],
+                              List[np.ndarray]]:
+    """Drive K per-object datasets through the fleet program in
+    lockstep: every batch is ONE dispatch; short datasets pad with
+    valid=0 rows (whole zero batches once exhausted). Returns per-object
+    (Rs, ts, ok) numpy arrays of each dataset's true length."""
+    from zebrapose_tpu.eval.evaluate import _pad_to
+
+    k = len(datasets)
+    lens = [len(d) for d in datasets]
+    n_max = max(lens)
+    Rs = [np.zeros((n, 3, 3), np.float32) for n in lens]
+    ts = [np.zeros((n, 3), np.float32) for n in lens]
+    ok = [np.zeros((n,), bool) for n in lens]
+    zero_raw = None
+    for start in range(0, n_max, batch_size):
+        feeds = []
+        for ds, n in zip(datasets, lens):
+            idx = list(range(start, min(start + batch_size, n)))
+            if idx:
+                raw = _pad_to(ds.collate(idx), batch_size)
+                if zero_raw is None:
+                    zero_raw = {kk: np.zeros_like(v)
+                                for kk, v in raw.items()}
+            else:
+                raw = zero_raw  # valid == 0 everywhere: pure padding
+            feeds.append(raw)
+        cat = {kk: np.concatenate([f[kk] for f in feeds])
+               for kk in FEED_KEYS + ("final_bbox", "K")}
+        out = fleet_step({kk: cat[kk] for kk in FEED_KEYS},
+                         jnp.asarray(cat["final_bbox"].astype(np.int32)),
+                         jnp.asarray(cat["K"]),
+                         jax.random.fold_in(key, start), variables,
+                         n_models=k)
+        R_b, t_b, ok_b, _ = (np.asarray(o) for o in out)
+        for i, n in enumerate(lens):
+            m = max(0, min(batch_size, n - start))
+            if m:
+                Rs[i][start:start + m] = R_b[i, :m]
+                ts[i][start:start + m] = t_b[i, :m]
+                ok[i][start:start + m] = ok_b[i, :m]
+    return Rs, ts, ok
+
+
 def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
                    output_dir: str, variant: str = "v2",
                    batch_size: int = 16,
@@ -141,8 +186,7 @@ def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
     from zebrapose_tpu.data.bop_writer import (merge_csv,
                                                parse_sample_ids,
                                                write_csv)
-    from zebrapose_tpu.eval.evaluate import (_pad_to, pose_errors,
-                                             summarize)
+    from zebrapose_tpu.eval.evaluate import pose_errors, summarize
     from zebrapose_tpu.eval.runner import (load_model_variables,
                                            prepare_object_eval)
     from zebrapose_tpu.models.zebra_net import ZebraPoseNet
@@ -189,40 +233,9 @@ def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
         loss_type=cfg.BinaryCode_Loss_Type,
         pnp_cfg=pnp_cfg or PnPConfig(), mesh=mesh)
 
-    k = len(oes)
     lens = [len(oe.dataset) for oe in oes]
-    n_max = max(lens)
-    Rs = [np.zeros((n, 3, 3), np.float32) for n in lens]
-    ts = [np.zeros((n, 3), np.float32) for n in lens]
-    ok = [np.zeros((n,), bool) for n in lens]
-    key = jax.random.PRNGKey(0)
-    zero_raw = None
-    for start in range(0, n_max, batch_size):
-        feeds = []
-        for oe, n in zip(oes, lens):
-            idx = list(range(start, min(start + batch_size, n)))
-            if idx:
-                raw = _pad_to(oe.dataset.collate(idx), batch_size)
-                if zero_raw is None:
-                    zero_raw = {kk: np.zeros_like(v)
-                                for kk, v in raw.items()}
-            else:
-                raw = zero_raw  # valid == 0 everywhere: pure padding
-            feeds.append(raw)
-        cat = {kk: np.concatenate([f[kk] for f in feeds])
-               for kk in FEED_KEYS + ("final_bbox", "K")}
-        out = step({kk: cat[kk] for kk in FEED_KEYS},
-                   jnp.asarray(cat["final_bbox"].astype(np.int32)),
-                   jnp.asarray(cat["K"]),
-                   jax.random.fold_in(key, start), variables,
-                   n_models=k)
-        R_b, t_b, ok_b, _ = (np.asarray(o) for o in out)
-        for i, n in enumerate(lens):
-            m = max(0, min(batch_size, n - start))
-            if m:
-                Rs[i][start:start + m] = R_b[i, :m]
-                ts[i][start:start + m] = t_b[i, :m]
-                ok[i][start:start + m] = ok_b[i, :m]
+    Rs, ts, ok = fleet_infer([oe.dataset for oe in oes], step,
+                             variables, batch_size, jax.random.PRNGKey(0))
 
     os.makedirs(output_dir, exist_ok=True)
     per_object = {}

@@ -188,6 +188,34 @@ def build_fleet_setup(cfg, obj_names: List[str], output_dir: str,
     return FleetResources(members=members, mesh=mesh, state=state)
 
 
+def _fleet_validate(members, state: TrainState, fleet_eval,
+                    key) -> List[Dict[str, float]]:
+    """Pose validation for the whole fleet: the K val splits stream
+    through the fleet eval program in lockstep (fleet_serve.fleet_infer),
+    the stacked train-state params/batch_stats feed the vmapped forward
+    directly, and each member gets the standard ADD/ADD-S metric dict
+    (trainer.fit's validation contract, train_v2.py:287-344)."""
+    from zebrapose_tpu.eval.evaluate import pose_errors, summarize
+    from zebrapose_tpu.eval.fleet_serve import fleet_infer
+
+    variables = {"params": state.params,
+                 "batch_stats": state.batch_stats}
+    Rs, ts, ok = fleet_infer(
+        [m.val_dataset for m in members], fleet_eval, variables,
+        min(m.val_batch_size for m in members), key)
+    out = []
+    for i, m in enumerate(members):
+        for j in range(len(m.val_dataset)):
+            if not ok[i][j]:
+                Rs[i][j] = np.eye(3)
+                ts[i][j] = 0
+        errors = pose_errors(m.val_dataset, Rs[i], ts[i], ok[i],
+                             m.vertices, m.symmetric)
+        out.append(summarize(errors, m.diameter,
+                             "ADD-S" if m.symmetric else "ADD"))
+    return out
+
+
 def fit_fleet(fleet: FleetResources, log_freq: int = 1000,
               validate: bool = True,
               max_steps: Optional[int] = None) -> List[float]:
@@ -198,7 +226,6 @@ def fit_fleet(fleet: FleetResources, log_freq: int = 1000,
     train_v2.py:287-344) but advances all K objects with one
     `fleet_train_step` per iteration."""
     from zebrapose_tpu.data.pipeline import preprocess_batch
-    from zebrapose_tpu.eval.evaluate import evaluate_object, make_eval_step
     from zebrapose_tpu.train.trainer import _loss_cfg
 
     members = fleet.members
@@ -221,20 +248,28 @@ def fit_fleet(fleet: FleetResources, log_freq: int = 1000,
     end_step = total if max_steps is None else \
         min(start_step + max_steps, total)
 
-    eval_steps = [None] * k
+    # Validation runs through the FLEET eval program too: one vmapped
+    # forward over all objects' val crops + per-object decode, consuming
+    # the stacked train state directly (no per-member slicing, K x fewer
+    # dispatches than sequential single-object validations).
+    fleet_eval = None
     if validate and all(m.val_dataset is not None for m in members):
-        eval_steps = [
-            make_eval_step(
-                lambda b, v, _m=m: _m.model.apply(v, b["image"],
-                                                  train=False),
-                m.lut, crop_img=cfg.BoundingBox_CropSize_image,
-                crop_gt=cfg.BoundingBox_CropSize_GT,
-                base=cfg.divide_number_each_itration,
-                n_bits=cfg.number_of_itration,
-                resize_method=cfg.resize_method,
-                loss_type=cfg.BinaryCode_Loss_Type, pnp_cfg=m.pnp_cfg,
-                preprocess_gt=False)
-            for m in members]
+        from zebrapose_tpu.eval.fleet_serve import (make_fleet_eval_step,
+                                                    stack_luts)
+
+        if len({m.pnp_cfg for m in members}) > 1:
+            raise ValueError("fleet members disagree on pnp_cfg")
+        lp, lv = stack_luts([m.lut for m in members])
+        fleet_eval = make_fleet_eval_step(
+            lambda b, v: members[0].model.apply(v, b["image"],
+                                                train=False),
+            lp, lv, crop_img=cfg.BoundingBox_CropSize_image,
+            crop_gt=cfg.BoundingBox_CropSize_GT,
+            base=cfg.divide_number_each_itration,
+            n_bits=cfg.number_of_itration,
+            resize_method=cfg.resize_method,
+            loss_type=cfg.BinaryCode_Loss_Type,
+            pnp_cfg=members[0].pnp_cfg, mesh=fleet.mesh)
 
     sh = fleet_sharding(fleet.mesh)
     key = jax.random.PRNGKey(0)
@@ -278,27 +313,24 @@ def fit_fleet(fleet: FleetResources, log_freq: int = 1000,
                     scalars.update({f"bit_err_{j}": float(h)
                                     for j, h in enumerate(hist[i])})
                     m.logger.log(it + 1, scalars, prefix="train/")
-                    member_state = index_state(state, i)
-                    m.ckpt.save(member_state)
-                    if eval_steps[i] is not None:
-                        variables = {
-                            "params": member_state.params,
-                            "batch_stats": member_state.batch_stats}
-                        r = evaluate_object(
-                            m.val_dataset, eval_steps[i], m.vertices,
-                            m.diameter, m.symmetric, m.obj_id, "val",
-                            m.obj_name, batch_size=m.val_batch_size,
-                            variables=variables)
+                    m.ckpt.save(index_state(state, i))
+                if fleet_eval is not None:
+                    val_metrics = _fleet_validate(
+                        members, state, fleet_eval,
+                        # distinct stream from the train-step keys
+                        jax.random.fold_in(key, (1 << 31) + it))
+                    for i, m in enumerate(members):
                         prefix = "ADD-S" if m.symmetric else "ADD"
-                        recall = r.metrics[f"{prefix}_recall_0.1d"]
-                        m.logger.log(it + 1, r.metrics, prefix="val/")
+                        recall = val_metrics[i][f"{prefix}_recall_0.1d"]
+                        m.logger.log(it + 1, val_metrics[i],
+                                     prefix="val/")
                         if recall > best[i]:
                             best[i] = recall
                             m.ckpt.save_best(
-                                member_state.replace(best_score=jnp.full(
-                                    (), best[i], jnp.float32)),
+                                index_state(state, i).replace(
+                                    best_score=jnp.full((), best[i],
+                                                        jnp.float32)),
                                 best[i])
-                if eval_steps[0] is not None:
                     # fold the new bests back into the stacked state so
                     # the NEXT rolling checkpoints persist them
                     state = state.replace(best_score=jax.device_put(
