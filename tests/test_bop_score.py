@@ -145,6 +145,32 @@ def test_score_csv_end_to_end(tmp_path, bop_tree):
                                         + res2["AR_mspd"]) / 2)
 
 
+def test_score_csv_partial_depth_disables_vsd_loudly(tmp_path, bop_tree):
+    """Auto VSD (with_vsd=None) must not silently drop to MSSD+MSPD when
+    only SOME scored images have depth — it warns and reports the
+    2-component AR for every object."""
+    root, poses = bop_tree
+    rows = []
+    for im in range(3):
+        R, t = poses[(im, 1)]
+        rows.append((1, im, 1, 0.9, R, t))
+    csv = str(tmp_path / "sub.csv")
+    _write_csv(csv, rows)
+
+    gone = root / "lmo" / "test" / "000001" / "depth" / "000001.png"
+    hidden = gone.with_suffix(".hidden")
+    gone.rename(hidden)
+    try:
+        with pytest.warns(UserWarning, match="VSD disabled"):
+            res = score_csv(csv, str(root), "lmo")
+    finally:
+        hidden.rename(gone)
+    assert "AR_vsd" not in res
+    assert "AR_vsd" not in res["per_object"][1]
+    assert res["AR"] == pytest.approx((res["AR_mssd"]
+                                       + res["AR_mspd"]) / 2)
+
+
 def test_score_csv_respects_targets_file(tmp_path, bop_tree):
     """test_targets_bop19.json restricts the target set: only listed
     (scene, im, obj) triples count, both as denominators and as GT."""

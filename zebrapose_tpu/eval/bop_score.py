@@ -189,10 +189,19 @@ def score_csv(csv_path: str, bop_path: str, dataset: str,
     # objects, 2-component later).
     vsd_enabled = with_vsd
     if vsd_enabled is None:
-        vsd_enabled = all(
+        have_depth = [
             os.path.exists(os.path.join(
                 rec["scene_dir"], "depth", f"{rec['im_id']:06d}.png"))
-            for recs in pairs.values() for rec in recs)
+            for recs in pairs.values() for rec in recs]
+        vsd_enabled = all(have_depth)
+        if any(have_depth) and not vsd_enabled:
+            import warnings
+            warnings.warn(
+                f"VSD disabled: only {sum(have_depth)}/{len(have_depth)} "
+                "scored images have depth (mixed coverage would make "
+                "per-object ARs incomparable). AR pools MSSD+MSPD only; "
+                "pass with_vsd=True to fail loudly on the missing files "
+                "instead.", stacklevel=2)
 
     # ---- per-object batched errors + matching --------------------------
     per_object: Dict[int, Dict] = {}
