@@ -248,3 +248,52 @@ def test_run_test_empty_split_refine_no_crash(bop_tree, tmp_path):
                            pnp_cfg=PnPConfig(n_hypotheses=16,
                                              max_points=512))
     assert metrics["ADD_recall_0.1d"] == 0.0
+
+
+def test_cli_export_serving_then_serve(bop_tree, tmp_path, capsys):
+    """Full deployment loop through the CLI: export-serving packages a
+    converted reference .pth into a blob; serve-exported answers the
+    split from the blob alone (no checkpoint on the serving side) and
+    writes the same-format BOP CSV as run_test."""
+    from zebrapose_tpu.cli import main
+
+    bop_path, det_path = bop_tree
+    torch.manual_seed(5)
+    net = ReferenceNet(variant="v2", code_len=16)
+    ckpt_path = str(tmp_path / "ckpt_srv.pth")
+    torch.save({"model_state_dict": net.state_dict()}, ckpt_path)
+    cfg_path = tmp_path / "cfg.txt"
+    cfg_path.write_text("\n".join([
+        f"bop_path = {bop_path}",
+        "dataset_name = lmo",
+        "test_folder = test",
+        f"Detection_reaults = {det_path}",
+        "BoundingBox_CropSize_image = 128",
+        "BoundingBox_CropSize_GT = 64",
+        "divide_number_each_itration = 2",
+        "number_of_itration = 16",
+    ]) + "\n")
+
+    blob = str(tmp_path / "ape.serving")
+    rc = main(["export-serving", "--cfg", str(cfg_path),
+               "--obj_name", "ape", "--ckpt_file", ckpt_path,
+               "--out", blob, "--batch", "2",
+               "--image_h", str(H), "--image_w", str(W),
+               "--n_hypotheses", "16", "--max_points", "512"])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["bytes"] > 1_000_000  # weights are baked in
+    assert os.path.getsize(blob) == meta["bytes"]
+
+    out_dir = str(tmp_path / "srv_out")
+    rc = main(["serve-exported", "--cfg", str(cfg_path),
+               "--obj_name", "ape", "--blob", blob,
+               "--output_dir", out_dir])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["instances"] == 3 and res["batch"] == 2
+    csv = os.path.join(out_dir, "pose_result_bop", "lmo_ape.csv")
+    rows = open(csv).read().splitlines()
+    # header + 2 detected images; image 2 has no detection -> score -1
+    # -> dropped by write_csv (reference write_to_cvs semantics)
+    assert len(rows) == 3

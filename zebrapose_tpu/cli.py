@@ -183,6 +183,75 @@ def main(argv=None):
                        help="divide_number_each_itration; != 2 selects "
                             "the non-binary head layout")
 
+    p_srv = sub.add_parser(
+        "export-serving",
+        help="AOT-export the full eval program (preprocess + forward + "
+             "decode + EPnP-RANSAC) as one serialized jax.export artifact "
+             "with weights and LUT baked in — a self-contained serving "
+             "blob (the reference has no deployment artifact)")
+    _add_common(p_srv)
+    p_srv.add_argument("--ckpt_file", required=True,
+                       help="orbax checkpoint dir or reference .pth")
+    p_srv.add_argument("--out", required=True, help="output blob path")
+    p_srv.add_argument("--batch", type=int, default=64)
+    p_srv.add_argument("--image_h", type=int, default=480)
+    p_srv.add_argument("--image_w", type=int, default=640)
+    p_srv.add_argument("--variant", default="v2",
+                       choices=["v1", "v2", "v3"])
+    p_srv.add_argument("--ignore_bit", type=int, default=0)
+    p_srv.add_argument("--int8", action="store_true",
+                       help="bake the int8 serving-mode convs into the "
+                            "artifact")
+    p_srv.add_argument("--platforms", nargs="+", default=None,
+                       help="jax.export lowering platforms (default: the "
+                            "current backend), e.g. --platforms tpu cpu")
+    p_srv.add_argument("--n_hypotheses", type=int, default=128,
+                       help="RANSAC hypothesis count baked into the blob")
+    p_srv.add_argument("--max_points", type=int, default=4096,
+                       help="correspondence subset capacity baked in")
+
+    p_srvf = sub.add_parser(
+        "export-serving-fleet",
+        help="AOT-export K per-object models as ONE serving blob (the "
+             "fleet_serve program: stacked weights + LUTs, one vmapped "
+             "forward, per-object decode)")
+    p_srvf.add_argument("--cfg", required=True)
+    p_srvf.add_argument("--obj_names", required=True, nargs="+")
+    p_srvf.add_argument("--ckpt_files", required=True, nargs="+")
+    p_srvf.add_argument("--out", required=True)
+    p_srvf.add_argument("--batch", type=int, default=16,
+                        help="per-object batch")
+    p_srvf.add_argument("--image_h", type=int, default=480)
+    p_srvf.add_argument("--image_w", type=int, default=640)
+    p_srvf.add_argument("--variant", default="v2",
+                        choices=["v1", "v2", "v3"])
+    p_srvf.add_argument("--int8", action="store_true")
+    p_srvf.add_argument("--platforms", nargs="+", default=None)
+    p_srvf.add_argument("--n_hypotheses", type=int, default=128)
+    p_srvf.add_argument("--max_points", type=int, default=4096)
+
+    p_sedf = sub.add_parser(
+        "serve-exported-fleet",
+        help="answer K objects' test splits from one fleet serving blob; "
+             "per-object BOP CSVs + one merged submission CSV")
+    p_sedf.add_argument("--cfg", required=True)
+    p_sedf.add_argument("--obj_names", required=True, nargs="+")
+    p_sedf.add_argument("--blob", required=True)
+    p_sedf.add_argument("--output_dir", default="eval_out")
+    p_sedf.add_argument("--seed", type=int, default=0)
+    p_sedf.add_argument("--max_samples", type=int, default=None)
+
+    p_sed = sub.add_parser(
+        "serve-exported",
+        help="answer a test split from an export-serving blob alone "
+             "(no checkpoint, no model build) and write the BOP CSV")
+    _add_common(p_sed)
+    p_sed.add_argument("--blob", required=True,
+                       help="export-serving artifact path")
+    p_sed.add_argument("--output_dir", default="eval_out")
+    p_sed.add_argument("--seed", type=int, default=0)
+    p_sed.add_argument("--max_samples", type=int, default=None)
+
     p_score = sub.add_parser(
         "score-bop",
         help="BOP19 challenge scoring (AR_vsd/mssd/mspd) of a submission "
@@ -290,6 +359,123 @@ def main(argv=None):
             best = fit(res, log_freq=args.log_freq,
                        max_steps=args.max_steps, val_mode=args.val_mode)
         print(f"best val recall: {best}")
+        return 0
+
+    if args.command == "export-serving":
+        import jax.numpy as jnp
+        from zebrapose_tpu.codec.lut import load_correspondence_lut
+        from zebrapose_tpu.data.dataset_info import lookup_obj_id
+        from zebrapose_tpu.eval.export_serving import (build_serving_fn,
+                                                       export_serving)
+        from zebrapose_tpu.eval.runner import load_model_variables
+        from zebrapose_tpu.models.zebra_net import ZebraPoseNet
+        from zebrapose_tpu.ops.pnp import PnPConfig
+        obj_id = lookup_obj_id(cfg.dataset_name, args.obj_name)
+        lut = load_correspondence_lut(os.path.join(
+            cfg.bop_path, cfg.dataset_name, "models_GT_color",
+            f"Class_CorresPoint{obj_id:06d}.txt"))
+        model = ZebraPoseNet(
+            binary_code_length=cfg.number_of_itration,
+            base=cfg.divide_number_each_itration, variant=args.variant,
+            resnet_layers=cfg.resnet_layer,
+            concat=cfg.concat_encoder_decoder,
+            output_kernel_size=cfg.output_kernel_size,
+            dtype=jnp.bfloat16, quant=args.int8)
+        variables = load_model_variables(
+            args.ckpt_file, model, args.variant,
+            cfg.BoundingBox_CropSize_image,
+            resnet_layers=cfg.resnet_layer,
+            nonbinary=cfg.divide_number_each_itration != 2)
+        serve = build_serving_fn(
+            model, variables, lut,
+            crop_img=cfg.BoundingBox_CropSize_image,
+            crop_gt=cfg.BoundingBox_CropSize_GT,
+            base=cfg.divide_number_each_itration,
+            n_bits=cfg.number_of_itration,
+            resize_method=cfg.resize_method,
+            loss_type=cfg.BinaryCode_Loss_Type,
+            pnp_cfg=PnPConfig(n_hypotheses=args.n_hypotheses,
+                              max_points=args.max_points),
+            ignore_bits=args.ignore_bit)
+        blob = export_serving(serve, args.batch,
+                              (args.image_h, args.image_w),
+                              platforms=args.platforms)
+        with open(args.out, "wb") as f:
+            f.write(blob)
+        print(json.dumps({
+            "out": args.out, "bytes": len(blob), "batch": args.batch,
+            "image_hw": [args.image_h, args.image_w],
+            "platforms": args.platforms or ["<current backend>"]}))
+        return 0
+
+    if args.command == "serve-exported":
+        from zebrapose_tpu.eval.export_serving import run_serve_exported
+        res = run_serve_exported(cfg, args.obj_name, args.blob,
+                                 args.output_dir, seed=args.seed,
+                                 max_samples=args.max_samples)
+        print(json.dumps(res))
+        return 0
+
+    if args.command == "serve-exported-fleet":
+        from zebrapose_tpu.eval.export_serving import (
+            run_serve_exported_fleet)
+        res = run_serve_exported_fleet(
+            cfg, args.obj_names, args.blob, args.output_dir,
+            seed=args.seed, max_samples=args.max_samples)
+        print(json.dumps(res))
+        return 0
+
+    if args.command == "export-serving-fleet":
+        import jax.numpy as jnp
+        from zebrapose_tpu.codec.lut import load_correspondence_lut
+        from zebrapose_tpu.data.dataset_info import lookup_obj_id
+        from zebrapose_tpu.eval.export_serving import (
+            build_fleet_serving_fn, export_serving)
+        from zebrapose_tpu.eval.runner import load_model_variables
+        from zebrapose_tpu.models.zebra_net import ZebraPoseNet
+        from zebrapose_tpu.ops.pnp import PnPConfig
+        if len(args.ckpt_files) != len(args.obj_names):
+            raise SystemExit("need one checkpoint per object")
+        luts = []
+        for name in args.obj_names:
+            oid = lookup_obj_id(cfg.dataset_name, name)
+            luts.append(load_correspondence_lut(os.path.join(
+                cfg.bop_path, cfg.dataset_name, "models_GT_color",
+                f"Class_CorresPoint{oid:06d}.txt")))
+        model = ZebraPoseNet(
+            binary_code_length=cfg.number_of_itration,
+            base=cfg.divide_number_each_itration, variant=args.variant,
+            resnet_layers=cfg.resnet_layer,
+            concat=cfg.concat_encoder_decoder,
+            output_kernel_size=cfg.output_kernel_size,
+            dtype=jnp.bfloat16, quant=args.int8)
+        variables_list = [
+            load_model_variables(
+                ck, model, args.variant, cfg.BoundingBox_CropSize_image,
+                resnet_layers=cfg.resnet_layer,
+                nonbinary=cfg.divide_number_each_itration != 2)
+            for ck in args.ckpt_files]
+        serve = build_fleet_serving_fn(
+            model, variables_list, luts,
+            crop_img=cfg.BoundingBox_CropSize_image,
+            crop_gt=cfg.BoundingBox_CropSize_GT,
+            base=cfg.divide_number_each_itration,
+            n_bits=cfg.number_of_itration,
+            resize_method=cfg.resize_method,
+            loss_type=cfg.BinaryCode_Loss_Type,
+            pnp_cfg=PnPConfig(n_hypotheses=args.n_hypotheses,
+                              max_points=args.max_points))
+        blob = export_serving(
+            serve, args.batch, (args.image_h, args.image_w),
+            platforms=args.platforms, n_models=len(args.obj_names),
+            meta={"obj_names": args.obj_names,
+                  "dataset": cfg.dataset_name})
+        with open(args.out, "wb") as f:
+            f.write(blob)
+        print(json.dumps({
+            "out": args.out, "bytes": len(blob),
+            "n_models": len(args.obj_names), "batch": args.batch,
+            "image_hw": [args.image_h, args.image_w]}))
         return 0
 
     if args.command == "train-fleet":

@@ -1,0 +1,366 @@
+"""AOT serving export: the full eval program as a versioned artifact.
+
+The reference's only deployment story is a Python process per object
+running `test.py`'s batch-1 loop (zebrapose/test.py:242-273) with the
+torch checkpoint, the model code, and the correspondence dict all loaded
+at startup. This module packages OUR production eval program —
+preprocess -> forward -> binarize -> surface-code decode -> EPnP-RANSAC,
+the exact `make_eval_step` graph — as one serialized `jax.export`
+artifact with the checkpoint weights AND the correspondence LUT baked in
+as constants. A serving host needs jax and the blob; no flax model
+code, no checkpoint restore, no LUT files, and the artifact is
+version-pinned by jax.export's serialization calling convention.
+
+Interface of the exported program (all shapes fixed at export time):
+
+    (rgb[B,H,W,3] u8, roi_param[B,5] i32, valid[B] f32,
+     final_bbox[B,4] i32, K[B,3,3] f32, seed[] u32)
+        -> (R[B,3,3] f32, t[B,3] f32, success[B] bool, n_inliers[B] i32)
+
+`roi_param`/`final_bbox` are the host-side integer bbox products of
+`CropDatasetHost.collate` (the only host math in the pipeline); `seed`
+derives the RANSAC sampling key exactly as the runners do
+(`key = PRNGKey(seed)`, split per sample inside the program).
+
+Platform note: the hypothesis-stage Pallas kernel dispatches at trace
+time on `jax.default_backend()` (ops/pnp_kernel.py), so a blob exported
+FOR tpu FROM a cpu-default process falls back to the (identical-output,
+slower) jnp hypothesis path. Export on the target platform — or pass
+use_kernel explicitly — to get the kernel into the artifact.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from zebrapose_tpu.codec.lut import CorrespondenceLUT
+from zebrapose_tpu.eval.evaluate import make_eval_step
+from zebrapose_tpu.ops.pnp import PnPConfig
+
+MAGIC = b"ZEBRAPOSE_SERVING_V1\n"
+# blob layout: MAGIC, one JSON metadata line ({"n_models": K, ...}),
+# then the jax.export payload.
+
+
+def build_serving_fn(model, variables, lut: CorrespondenceLUT,
+                     crop_img: int, crop_gt: int, base: int, n_bits: int,
+                     resize_method: str, loss_type: str,
+                     pnp_cfg: PnPConfig, ignore_bits: int = 0,
+                     mask_from_dataset: bool = False):
+    """Close the production eval step over (variables, LUT).
+
+    Wraps `make_eval_step` itself, so the serving graph is the
+    production graph by construction — any fix or optimization to the
+    eval program is exported verbatim. `mask_from_dataset` threads the
+    mask-rcnn variant (detector RLE masks arrive pre-rasterized in the
+    dataset's `mask` channel; that channel is not part of the serving
+    signature, so the flag is rejected here — export the plain variant
+    and gate decode host-side instead).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if mask_from_dataset:
+        raise ValueError(
+            "mask_from_dataset consumes the dataset's rasterized GT/RLE "
+            "mask channel, which is not part of the serving signature; "
+            "export the network-mask variant instead")
+
+    step = make_eval_step(
+        lambda b, v: model.apply(v, b["image"], train=False), lut,
+        crop_img=crop_img, crop_gt=crop_gt, base=base, n_bits=n_bits,
+        resize_method=resize_method, loss_type=loss_type,
+        pnp_cfg=pnp_cfg, ignore_bits=ignore_bits, preprocess_gt=False)
+    const_vars = jax.tree.map(jnp.asarray, variables)
+
+    def serve(rgb, roi_param, valid, final_bbox, K, seed):
+        raw = {"rgb": rgb, "roi_param": roi_param, "valid": valid}
+        key = jax.random.PRNGKey(seed)
+        return step(raw, final_bbox, K, key, const_vars)
+
+    return serve
+
+
+def export_serving(serve_fn, batch: int, image_hw: Tuple[int, int],
+                   platforms: Optional[Sequence[str]] = None,
+                   n_models: int = 1,
+                   meta: Optional[dict] = None) -> bytes:
+    """Serialize the serving program for `platforms` (default: the
+    current backend) at a fixed batch/frame shape. Returns the blob
+    (MAGIC header + JSON metadata line + jax.export payload; weights
+    make it checkpoint-sized). `batch` is per model; fleet programs
+    (n_models > 1) take flat [n_models*batch] rows, object-major."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    h, w = image_hw
+    rows = n_models * batch
+    specs = (
+        jax.ShapeDtypeStruct((rows, h, w, 3), jnp.uint8),
+        jax.ShapeDtypeStruct((rows, 5), jnp.int32),
+        jax.ShapeDtypeStruct((rows,), jnp.float32),
+        jax.ShapeDtypeStruct((rows, 4), jnp.int32),
+        jax.ShapeDtypeStruct((rows, 3, 3), jnp.float32),
+        jax.ShapeDtypeStruct((), jnp.uint32),
+    )
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    exported = jexport.export(jax.jit(serve_fn), **kwargs)(*specs)
+    header = dict(meta or {})
+    header["n_models"] = n_models
+    return (MAGIC + json.dumps(header).encode() + b"\n"
+            + exported.serialize())
+
+
+class ServingProgram:
+    """A loaded serving artifact: callable with the serving signature,
+    plus the shape/platform metadata recovered from the export.
+    `batch` is per model (== the flat row count / n_models)."""
+
+    def __init__(self, exported, meta: dict):
+        import jax
+
+        self._fn = jax.jit(exported.call)
+        self.meta = meta
+        self.n_models = int(meta.get("n_models", 1))
+        self.platforms = tuple(exported.platforms)
+        self.rows = int(exported.in_avals[0].shape[0])
+        self.batch = self.rows // self.n_models
+        self.image_hw = tuple(int(d)
+                              for d in exported.in_avals[0].shape[1:3])
+
+    def __call__(self, *args):
+        return self._fn(*args)
+
+
+def load_serving(blob_or_path) -> ServingProgram:
+    """Deserialize an export_serving blob (raw bytes or a filesystem
+    path). Shapes must match the export exactly; pad the tail batch
+    like the runners do (`serve_dataset` does)."""
+    from jax import export as jexport
+
+    if isinstance(blob_or_path, bytes):
+        blob = blob_or_path
+    else:
+        with open(blob_or_path, "rb") as f:
+            blob = f.read()
+    if blob[:len(MAGIC)] != MAGIC:
+        raise ValueError("not a zebrapose serving artifact (bad header)")
+    rest = blob[len(MAGIC):]
+    nl = rest.index(b"\n")
+    meta = json.loads(rest[:nl])
+    return ServingProgram(jexport.deserialize(bytearray(rest[nl + 1:])),
+                          meta)
+
+
+def build_fleet_serving_fn(model, variables_list: List[dict],
+                           luts: List[CorrespondenceLUT],
+                           crop_img: int, crop_gt: int, base: int,
+                           n_bits: int, resize_method: str,
+                           loss_type: str, pnp_cfg: PnPConfig):
+    """K per-object models in ONE artifact (the fleet_serve program:
+    stacked variables + LUTs, one vmapped forward, per-object decode
+    scan). Inputs are flat [K*B, ...] rows in object-major order;
+    outputs are [K, B, ...]. Single-device program only — the shard_map
+    multi-chip fleet path binds to a concrete mesh at trace time and is
+    not a portable artifact; export one blob per slice instead."""
+    import jax
+    import jax.numpy as jnp
+
+    from zebrapose_tpu.eval.fleet_serve import (make_fleet_eval_step,
+                                                stack_luts,
+                                                stack_variables)
+
+    lp, lv = stack_luts(luts)
+    stacked = jax.tree.map(jnp.asarray, stack_variables(variables_list))
+    step = make_fleet_eval_step(
+        lambda b, v: model.apply(v, b["image"], train=False), lp, lv,
+        crop_img=crop_img, crop_gt=crop_gt, base=base, n_bits=n_bits,
+        resize_method=resize_method, loss_type=loss_type,
+        pnp_cfg=pnp_cfg, mesh=None)
+    k = len(luts)
+
+    def serve(rgb, roi_param, valid, final_bbox, K, seed):
+        raw = {"rgb": rgb, "roi_param": roi_param, "valid": valid}
+        key = jax.random.PRNGKey(seed)
+        return step(raw, final_bbox, K, key, stacked, n_models=k)
+
+    return serve
+
+
+def serve_fleet_datasets(fn: "ServingProgram", datasets, seed: int = 0
+                         ) -> Tuple[List[np.ndarray], List[np.ndarray],
+                                    List[np.ndarray]]:
+    """Drive K per-object dataset walks through a loaded FLEET artifact
+    in lockstep (fleet_infer semantics: short datasets pad with valid=0
+    rows / whole zero batches). Returns per-object (Rs, ts, ok)."""
+    import jax.numpy as jnp
+
+    if fn.n_models != len(datasets):
+        raise ValueError(f"artifact serves {fn.n_models} models, got "
+                         f"{len(datasets)} datasets")
+    batch = fn.batch
+    lens = [len(d) for d in datasets]
+    n_max = max(lens)
+    Rs = [np.zeros((n, 3, 3), np.float32) for n in lens]
+    ts = [np.zeros((n, 3), np.float32) for n in lens]
+    ok = [np.zeros((n,), bool) for n in lens]
+    names = ("rgb", "roi_param", "valid", "final_bbox", "K")
+    zero_raw = None
+    for start in range(0, n_max, batch):
+        feeds = []
+        for ds, n in zip(datasets, lens):
+            idx = list(range(start, min(start + batch, n)))
+            if idx:
+                raw = ds.collate(idx)
+                m = len(idx)
+                if m < batch:
+                    pad = [(0, batch - m)]
+                    raw = {k: np.pad(v, pad + [(0, 0)] * (v.ndim - 1))
+                           for k, v in raw.items()}
+                if zero_raw is None:
+                    zero_raw = {k: np.zeros_like(raw[k]) for k in names}
+            else:
+                raw = zero_raw
+            feeds.append(raw)
+        cat = {k: np.concatenate([f[k] for f in feeds]) for k in names}
+        out = fn(jnp.asarray(cat["rgb"]),
+                 jnp.asarray(cat["roi_param"].astype(np.int32)),
+                 jnp.asarray(cat["valid"].astype(np.float32)),
+                 jnp.asarray(cat["final_bbox"].astype(np.int32)),
+                 jnp.asarray(cat["K"].astype(np.float32)),
+                 jnp.uint32(seed + start))
+        R_b, t_b, ok_b = (np.asarray(o) for o in out[:3])
+        for i, n in enumerate(lens):
+            m = max(0, min(batch, n - start))
+            if m:
+                Rs[i][start:start + m] = R_b[i, :m]
+                ts[i][start:start + m] = t_b[i, :m]
+                ok[i][start:start + m] = ok_b[i, :m]
+    return Rs, ts, ok
+
+
+def run_serve_exported_fleet(cfg, obj_names: List[str], blob_path: str,
+                             output_dir: str, seed: int = 0,
+                             max_samples: Optional[int] = None) -> dict:
+    """Deployment-shaped fleet run: answer K objects' test splits from
+    one fleet artifact; per-object BOP CSVs + one merged submission CSV
+    (run_test_fleet's artifact set, minus metrics — serving is
+    GT-less)."""
+    import os
+
+    from zebrapose_tpu.data.bop_writer import (merge_csv,
+                                               parse_sample_ids,
+                                               write_csv)
+    from zebrapose_tpu.eval.runner import prepare_object_eval
+
+    prog = load_serving(blob_path)
+    if prog.n_models != len(obj_names):
+        raise ValueError(f"artifact serves {prog.n_models} models, got "
+                         f"{len(obj_names)} object names")
+    shared = None
+    if not cfg.bop_challange:
+        from zebrapose_tpu.data import bop_io
+        shared = bop_io.get_dataset(cfg.bop_path, cfg.dataset_name,
+                                    train=False, eval_model=True,
+                                    data_folder=cfg.test_folder)
+    oes = [prepare_object_eval(cfg, n, max_samples=max_samples,
+                               samples=shared) for n in obj_names]
+    Rs, ts, ok = serve_fleet_datasets(prog, [oe.dataset for oe in oes],
+                                      seed=seed)
+
+    os.makedirs(output_dir, exist_ok=True)
+    csvs = []
+    solved = {}
+    for i, (name, oe) in enumerate(zip(obj_names, oes)):
+        ids = parse_sample_ids(oe.dataset.rgb_files)
+        csvs.append(write_csv(
+            os.path.join(output_dir, "pose_result_bop"),
+            f"{cfg.dataset_name}_{name}", oe.obj_id,
+            [s for s, _ in ids], [im for _, im in ids], list(Rs[i]),
+            [t.reshape(3, 1) for t in ts[i]],
+            oe.scores if oe.scores is not None
+            else [1.0] * len(oe.dataset)))
+        solved[name] = int(ok[i].sum())
+    merged = merge_csv(csvs, os.path.join(
+        output_dir, f"{cfg.dataset_name}_fleet.csv"))
+    return {"solved": solved,
+            "instances": {n: int(len(oe.dataset))
+                          for n, oe in zip(obj_names, oes)},
+            "batch": prog.batch, "merged_csv": merged}
+
+
+def run_serve_exported(cfg, obj_name: str, blob_path: str,
+                       output_dir: str, seed: int = 0,
+                       max_samples: Optional[int] = None) -> dict:
+    """Deployment-shaped run: walk the configured test split with the
+    detections the config names, answer every instance from the serving
+    blob alone (no checkpoint, no model build), write the BOP CSV.
+
+    The dataset walk is the same one `run_test` uses, so the CSV is
+    byte-compatible with the per-object evaluation path's."""
+    import os
+
+    from zebrapose_tpu.data.bop_writer import parse_sample_ids, write_csv
+    from zebrapose_tpu.eval.runner import prepare_object_eval
+
+    prog = load_serving(blob_path)
+    oe = prepare_object_eval(cfg, obj_name, max_samples=max_samples)
+    hw = (oe.dataset.get_raw(0)["rgb"].shape[:2]
+          if len(oe.dataset) else prog.image_hw)
+    if tuple(hw) != prog.image_hw:
+        raise ValueError(
+            f"artifact was exported for frames {prog.image_hw}, split "
+            f"ships {tuple(hw)} — re-export with --image_h/--image_w")
+    Rs, ts, ok = serve_dataset(prog, oe.dataset, seed=seed)
+
+    os.makedirs(output_dir, exist_ok=True)
+    ids = parse_sample_ids(oe.dataset.rgb_files)
+    scores = (oe.scores if oe.scores is not None
+              else [1.0] * len(oe.dataset))
+    write_csv(os.path.join(output_dir, "pose_result_bop"),
+              f"{cfg.dataset_name}_{obj_name}", oe.obj_id,
+              [s for s, _ in ids], [i for _, i in ids], list(Rs),
+              [t.reshape(3, 1) for t in ts], scores)
+    return {"instances": int(len(oe.dataset)), "solved": int(ok.sum()),
+            "batch": prog.batch, "platforms": list(prog.platforms)}
+
+
+def serve_dataset(fn, dataset, seed: int = 0) -> Tuple[
+        np.ndarray, np.ndarray, np.ndarray]:
+    """Run a CropDatasetHost walk through a loaded serving program.
+
+    Tail batches are zero-padded (valid=0 marks padding, exactly like
+    `run_inference`). Returns (R [N,3,3], t [N,3], success [N])."""
+    import jax.numpy as jnp
+
+    if getattr(fn, "n_models", 1) != 1:
+        raise ValueError("fleet artifact: use serve_fleet_datasets")
+    batch = fn.batch
+    n = len(dataset)
+    Rs = np.zeros((n, 3, 3), np.float32)
+    ts = np.zeros((n, 3), np.float32)
+    ok = np.zeros((n,), bool)
+    for start in range(0, n, batch):
+        idx = list(range(start, min(start + batch, n)))
+        raw = dataset.collate(idx)
+        m = len(idx)
+        if m < batch:
+            pad = [(0, batch - m)]
+            raw = {k: np.pad(v, pad + [(0, 0)] * (v.ndim - 1))
+                   for k, v in raw.items()}
+        out = fn(jnp.asarray(raw["rgb"]),
+                 jnp.asarray(raw["roi_param"].astype(np.int32)),
+                 jnp.asarray(raw["valid"].astype(np.float32)),
+                 jnp.asarray(raw["final_bbox"].astype(np.int32)),
+                 jnp.asarray(raw["K"].astype(np.float32)),
+                 jnp.uint32(seed + start))
+        Rs[start:start + m] = np.asarray(out[0])[:m]
+        ts[start:start + m] = np.asarray(out[1])[:m]
+        ok[start:start + m] = np.asarray(out[2])[:m]
+    return Rs, ts, ok
