@@ -199,7 +199,14 @@ def main():
             "metric": "full_pipeline_crops_per_sec_per_chip", "value": 0,
             "unit": "crops/s", "vs_baseline": 0,
             "error": "device unreachable: a trivial fetch timed out "
-                     "(axon tunnel wedged?); see CLAUDE.md"}))
+                     "(axon tunnel wedged?); see CLAUDE.md",
+            "last_measured": {
+                "value": 1059.66, "unit": "crops/sec/chip",
+                "date": "2026-08-17",
+                "note": "most recent successful run of this same bench "
+                        "on this chip (BENCH_r02.json / PERF.md); "
+                        "reported for context only, NOT this run's "
+                        "result"}}))
         return 1
 
     # persistent compilation cache: first-ever run pays the (tunnel-
