@@ -399,7 +399,10 @@ def main(argv=None):
             ignore_bits=args.ignore_bit)
         blob = export_serving(serve, args.batch,
                               (args.image_h, args.image_w),
-                              platforms=args.platforms)
+                              platforms=args.platforms,
+                              meta={"obj_name": args.obj_name,
+                                    "dataset": cfg.dataset_name,
+                                    "int8": args.int8})
         with open(args.out, "wb") as f:
             f.write(blob)
         print(json.dumps({
