@@ -105,6 +105,40 @@ def test_mask_from_dataset_rejected(setup):
                          mask_from_dataset=True)
 
 
+def test_poly_batch_export_serves_any_batch(setup, tmp_path):
+    """batch=None exports a symbolic batch dimension: one blob answers
+    any batch size, numerically matching the live program."""
+    model, variables, lut, serve = setup
+    blob = export_serving(serve, batch=None, image_hw=(H, W))
+    prog = load_serving(blob)
+    assert prog.batch is None and prog.meta["poly_batch"]
+
+    step = make_eval_step(
+        lambda b, v: model.apply(v, b["image"], train=False), lut,
+        crop_img=128, crop_gt=64, base=2, n_bits=N_BITS,
+        resize_method="crop_square_resize", loss_type="BCE",
+        pnp_cfg=PNP, preprocess_gt=False)
+    rng = np.random.default_rng(13)
+    for batch in (2, 3):
+        rgb, roi, valid, fb, K = _feed(batch, rng)
+        args = (jnp.asarray(rgb), jnp.asarray(roi), jnp.asarray(valid),
+                jnp.asarray(fb), jnp.asarray(K), jnp.uint32(batch))
+        got = prog(*args)
+        raw = {"rgb": args[0], "roi_param": args[1], "valid": args[2]}
+        want = step(raw, args[3], args[4],
+                    jax.random.PRNGKey(jnp.uint32(batch)), variables)
+        np.testing.assert_array_equal(np.asarray(got[2]),
+                                      np.asarray(want[2]))  # success
+        for g, w in zip(got[:2], want[:2]):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       atol=1e-5)
+
+    # the dataset driver picks its own batch for poly blobs
+    ds = _StubDataset()
+    Rs, ts, ok = serve_dataset(prog, ds, seed=4, batch_size=2)
+    assert Rs.shape == (3, 3, 3) and ok.shape == (3,)
+
+
 def test_fleet_export_roundtrip_bit_exact(setup):
     """A K=2 fleet artifact must reproduce the live fleet program
     (itself pinned bit-exact per object to make_eval_step in

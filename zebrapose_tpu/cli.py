@@ -193,7 +193,10 @@ def main(argv=None):
     p_srv.add_argument("--ckpt_file", required=True,
                        help="orbax checkpoint dir or reference .pth")
     p_srv.add_argument("--out", required=True, help="output blob path")
-    p_srv.add_argument("--batch", type=int, default=64)
+    p_srv.add_argument("--batch", type=int, default=64,
+                       help="0 = symbolic batch dimension (one blob "
+                            "serves any batch size; one compile per "
+                            "distinct size on the serving host)")
     p_srv.add_argument("--image_h", type=int, default=480)
     p_srv.add_argument("--image_w", type=int, default=640)
     p_srv.add_argument("--variant", default="v2",
@@ -220,7 +223,7 @@ def main(argv=None):
     p_srvf.add_argument("--ckpt_files", required=True, nargs="+")
     p_srvf.add_argument("--out", required=True)
     p_srvf.add_argument("--batch", type=int, default=16,
-                        help="per-object batch")
+                        help="per-object batch; 0 = symbolic (any size)")
     p_srvf.add_argument("--image_h", type=int, default=480)
     p_srvf.add_argument("--image_w", type=int, default=640)
     p_srvf.add_argument("--variant", default="v2",
@@ -240,6 +243,9 @@ def main(argv=None):
     p_sedf.add_argument("--output_dir", default="eval_out")
     p_sedf.add_argument("--seed", type=int, default=0)
     p_sedf.add_argument("--max_samples", type=int, default=None)
+    p_sedf.add_argument("--batch_size", type=int, default=16,
+                        help="batch for poly_batch blobs (fixed-batch "
+                             "blobs dictate their own)")
 
     p_sed = sub.add_parser(
         "serve-exported",
@@ -251,6 +257,9 @@ def main(argv=None):
     p_sed.add_argument("--output_dir", default="eval_out")
     p_sed.add_argument("--seed", type=int, default=0)
     p_sed.add_argument("--max_samples", type=int, default=None)
+    p_sed.add_argument("--batch_size", type=int, default=16,
+                       help="batch for poly_batch blobs (fixed-batch "
+                            "blobs dictate their own)")
 
     p_score = sub.add_parser(
         "score-bop",
@@ -397,7 +406,7 @@ def main(argv=None):
             pnp_cfg=PnPConfig(n_hypotheses=args.n_hypotheses,
                               max_points=args.max_points),
             ignore_bits=args.ignore_bit)
-        blob = export_serving(serve, args.batch,
+        blob = export_serving(serve, args.batch or None,
                               (args.image_h, args.image_w),
                               platforms=args.platforms,
                               meta={"obj_name": args.obj_name,
@@ -406,7 +415,8 @@ def main(argv=None):
         with open(args.out, "wb") as f:
             f.write(blob)
         print(json.dumps({
-            "out": args.out, "bytes": len(blob), "batch": args.batch,
+            "out": args.out, "bytes": len(blob),
+            "batch": args.batch or "symbolic",
             "image_hw": [args.image_h, args.image_w],
             "platforms": args.platforms or ["<current backend>"]}))
         return 0
@@ -415,7 +425,8 @@ def main(argv=None):
         from zebrapose_tpu.eval.export_serving import run_serve_exported
         res = run_serve_exported(cfg, args.obj_name, args.blob,
                                  args.output_dir, seed=args.seed,
-                                 max_samples=args.max_samples)
+                                 max_samples=args.max_samples,
+                                 batch_size=args.batch_size)
         print(json.dumps(res))
         return 0
 
@@ -424,7 +435,8 @@ def main(argv=None):
             run_serve_exported_fleet)
         res = run_serve_exported_fleet(
             cfg, args.obj_names, args.blob, args.output_dir,
-            seed=args.seed, max_samples=args.max_samples)
+            seed=args.seed, max_samples=args.max_samples,
+            batch_size=args.batch_size)
         print(json.dumps(res))
         return 0
 
@@ -469,7 +481,7 @@ def main(argv=None):
             pnp_cfg=PnPConfig(n_hypotheses=args.n_hypotheses,
                               max_points=args.max_points))
         blob = export_serving(
-            serve, args.batch, (args.image_h, args.image_w),
+            serve, args.batch or None, (args.image_h, args.image_w),
             platforms=args.platforms, n_models=len(args.obj_names),
             meta={"obj_names": args.obj_names,
                   "dataset": cfg.dataset_name})
@@ -477,7 +489,8 @@ def main(argv=None):
             f.write(blob)
         print(json.dumps({
             "out": args.out, "bytes": len(blob),
-            "n_models": len(args.obj_names), "batch": args.batch,
+            "n_models": len(args.obj_names),
+            "batch": args.batch or "symbolic",
             "image_hw": [args.image_h, args.image_w]}))
         return 0
 

@@ -11,7 +11,8 @@ as constants. A serving host needs jax and the blob; no flax model
 code, no checkpoint restore, no LUT files, and the artifact is
 version-pinned by jax.export's serialization calling convention.
 
-Interface of the exported program (all shapes fixed at export time):
+Interface of the exported program (shapes fixed at export time, or a
+symbolic batch via batch=None — shape polymorphism):
 
     (rgb[B,H,W,3] u8, roi_param[B,5] i32, valid[B] f32,
      final_bbox[B,4] i32, K[B,3,3] f32, seed[] u32)
@@ -84,21 +85,29 @@ def build_serving_fn(model, variables, lut: CorrespondenceLUT,
     return serve
 
 
-def export_serving(serve_fn, batch: int, image_hw: Tuple[int, int],
+def export_serving(serve_fn, batch: Optional[int],
+                   image_hw: Tuple[int, int],
                    platforms: Optional[Sequence[str]] = None,
                    n_models: int = 1,
                    meta: Optional[dict] = None) -> bytes:
     """Serialize the serving program for `platforms` (default: the
-    current backend) at a fixed batch/frame shape. Returns the blob
-    (MAGIC header + JSON metadata line + jax.export payload; weights
-    make it checkpoint-sized). `batch` is per model; fleet programs
-    (n_models > 1) take flat [n_models*batch] rows, object-major."""
+    current backend) at a fixed frame shape. Returns the blob (MAGIC
+    header + JSON metadata line + jax.export payload; weights make it
+    checkpoint-sized). `batch` is per model; fleet programs
+    (n_models > 1) take flat [n_models*batch] rows, object-major.
+    batch=None exports with a SYMBOLIC batch dimension (jax.export
+    shape polymorphism): one blob serves any per-model batch size, at
+    the cost of one XLA compile per distinct size on the serving host."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
 
     h, w = image_hw
-    rows = n_models * batch
+    if batch is None:
+        b, = jexport.symbolic_shape("b")
+        rows = n_models * b
+    else:
+        rows = n_models * batch
     specs = (
         jax.ShapeDtypeStruct((rows, h, w, 3), jnp.uint8),
         jax.ShapeDtypeStruct((rows, 5), jnp.int32),
@@ -113,6 +122,7 @@ def export_serving(serve_fn, batch: int, image_hw: Tuple[int, int],
     exported = jexport.export(jax.jit(serve_fn), **kwargs)(*specs)
     header = dict(meta or {})
     header["n_models"] = n_models
+    header["poly_batch"] = batch is None
     return (MAGIC + json.dumps(header).encode() + b"\n"
             + exported.serialize())
 
@@ -129,8 +139,13 @@ class ServingProgram:
         self.meta = meta
         self.n_models = int(meta.get("n_models", 1))
         self.platforms = tuple(exported.platforms)
-        self.rows = int(exported.in_avals[0].shape[0])
-        self.batch = self.rows // self.n_models
+        rows = exported.in_avals[0].shape[0]
+        if isinstance(rows, int):            # fixed-batch artifact
+            self.rows = rows
+            self.batch = rows // self.n_models
+        else:                                # symbolic (poly_batch)
+            self.rows = None
+            self.batch = None
         self.image_hw = tuple(int(d)
                               for d in exported.in_avals[0].shape[1:3])
 
@@ -193,18 +208,20 @@ def build_fleet_serving_fn(model, variables_list: List[dict],
     return serve
 
 
-def serve_fleet_datasets(fn: "ServingProgram", datasets, seed: int = 0
+def serve_fleet_datasets(fn: "ServingProgram", datasets, seed: int = 0,
+                         batch_size: int = 16
                          ) -> Tuple[List[np.ndarray], List[np.ndarray],
                                     List[np.ndarray]]:
     """Drive K per-object dataset walks through a loaded FLEET artifact
     in lockstep (fleet_infer semantics: short datasets pad with valid=0
-    rows / whole zero batches). Returns per-object (Rs, ts, ok)."""
+    rows / whole zero batches). Returns per-object (Rs, ts, ok).
+    batch_size applies to poly_batch artifacts only."""
     import jax.numpy as jnp
 
     if fn.n_models != len(datasets):
         raise ValueError(f"artifact serves {fn.n_models} models, got "
                          f"{len(datasets)} datasets")
-    batch = fn.batch
+    batch = fn.batch or batch_size
     lens = [len(d) for d in datasets]
     n_max = max(lens)
     Rs = [np.zeros((n, 3, 3), np.float32) for n in lens]
@@ -247,7 +264,8 @@ def serve_fleet_datasets(fn: "ServingProgram", datasets, seed: int = 0
 
 def run_serve_exported_fleet(cfg, obj_names: List[str], blob_path: str,
                              output_dir: str, seed: int = 0,
-                             max_samples: Optional[int] = None) -> dict:
+                             max_samples: Optional[int] = None,
+                             batch_size: int = 16) -> dict:
     """Deployment-shaped fleet run: answer K objects' test splits from
     one fleet artifact; per-object BOP CSVs + one merged submission CSV
     (run_test_fleet's artifact set, minus metrics — serving is
@@ -272,7 +290,7 @@ def run_serve_exported_fleet(cfg, obj_names: List[str], blob_path: str,
     oes = [prepare_object_eval(cfg, n, max_samples=max_samples,
                                samples=shared) for n in obj_names]
     Rs, ts, ok = serve_fleet_datasets(prog, [oe.dataset for oe in oes],
-                                      seed=seed)
+                                      seed=seed, batch_size=batch_size)
 
     os.makedirs(output_dir, exist_ok=True)
     csvs = []
@@ -297,7 +315,8 @@ def run_serve_exported_fleet(cfg, obj_names: List[str], blob_path: str,
 
 def run_serve_exported(cfg, obj_name: str, blob_path: str,
                        output_dir: str, seed: int = 0,
-                       max_samples: Optional[int] = None) -> dict:
+                       max_samples: Optional[int] = None,
+                       batch_size: int = 16) -> dict:
     """Deployment-shaped run: walk the configured test split with the
     detections the config names, answer every instance from the serving
     blob alone (no checkpoint, no model build), write the BOP CSV.
@@ -317,7 +336,8 @@ def run_serve_exported(cfg, obj_name: str, blob_path: str,
         raise ValueError(
             f"artifact was exported for frames {prog.image_hw}, split "
             f"ships {tuple(hw)} — re-export with --image_h/--image_w")
-    Rs, ts, ok = serve_dataset(prog, oe.dataset, seed=seed)
+    Rs, ts, ok = serve_dataset(prog, oe.dataset, seed=seed,
+                               batch_size=batch_size)
 
     os.makedirs(output_dir, exist_ok=True)
     ids = parse_sample_ids(oe.dataset.rgb_files)
@@ -331,17 +351,20 @@ def run_serve_exported(cfg, obj_name: str, blob_path: str,
             "batch": prog.batch, "platforms": list(prog.platforms)}
 
 
-def serve_dataset(fn, dataset, seed: int = 0) -> Tuple[
+def serve_dataset(fn, dataset, seed: int = 0,
+                  batch_size: int = 16) -> Tuple[
         np.ndarray, np.ndarray, np.ndarray]:
     """Run a CropDatasetHost walk through a loaded serving program.
 
     Tail batches are zero-padded (valid=0 marks padding, exactly like
-    `run_inference`). Returns (R [N,3,3], t [N,3], success [N])."""
+    `run_inference`). Returns (R [N,3,3], t [N,3], success [N]).
+    batch_size applies to poly_batch artifacts only (fixed-batch blobs
+    dictate their own; padding keeps poly blobs on one compiled size)."""
     import jax.numpy as jnp
 
     if getattr(fn, "n_models", 1) != 1:
         raise ValueError("fleet artifact: use serve_fleet_datasets")
-    batch = fn.batch
+    batch = fn.batch or batch_size
     n = len(dataset)
     Rs = np.zeros((n, 3, 3), np.float32)
     ts = np.zeros((n, 3), np.float32)
