@@ -201,7 +201,7 @@ def main():
             "error": "device unreachable: a trivial fetch timed out "
                      "(axon tunnel wedged?); see CLAUDE.md",
             "last_measured": {
-                "value": 1059.66, "unit": "crops/sec/chip",
+                "value": 1059.72, "unit": "crops/sec/chip",
                 "date": "2026-08-17",
                 "note": "most recent successful run of this same bench "
                         "on this chip (BENCH_r02.json / PERF.md); "

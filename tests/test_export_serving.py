@@ -68,20 +68,20 @@ def test_export_roundtrip_bit_exact(setup, tmp_path):
     assert len(prog.platforms) >= 1
 
     rng = np.random.default_rng(11)
+    key = jax.random.PRNGKey(5)
     rgb, roi, valid, fb, K = _feed(2, rng)
     args = (jnp.asarray(rgb), jnp.asarray(roi), jnp.asarray(valid),
-            jnp.asarray(fb), jnp.asarray(K), jnp.uint32(5))
+            jnp.asarray(fb), jnp.asarray(K), key)
     got = prog(*args)
 
-    # the live production program with the same key derivation
+    # the live production program with the same key
     step = make_eval_step(
         lambda b, v: model.apply(v, b["image"], train=False), lut,
         crop_img=128, crop_gt=64, base=2, n_bits=N_BITS,
         resize_method="crop_square_resize", loss_type="BCE",
         pnp_cfg=PNP, preprocess_gt=False)
     raw = {"rgb": args[0], "roi_param": args[1], "valid": args[2]}
-    want = step(raw, args[3], args[4], jax.random.PRNGKey(jnp.uint32(5)),
-                variables)
+    want = step(raw, args[3], args[4], key, variables)
 
     assert len(got) == len(want) == 4
     for g, w in zip(got, want):
@@ -120,13 +120,13 @@ def test_poly_batch_export_serves_any_batch(setup, tmp_path):
         pnp_cfg=PNP, preprocess_gt=False)
     rng = np.random.default_rng(13)
     for batch in (2, 3):
+        key = jax.random.PRNGKey(batch)
         rgb, roi, valid, fb, K = _feed(batch, rng)
         args = (jnp.asarray(rgb), jnp.asarray(roi), jnp.asarray(valid),
-                jnp.asarray(fb), jnp.asarray(K), jnp.uint32(batch))
+                jnp.asarray(fb), jnp.asarray(K), key)
         got = prog(*args)
         raw = {"rgb": args[0], "roi_param": args[1], "valid": args[2]}
-        want = step(raw, args[3], args[4],
-                    jax.random.PRNGKey(jnp.uint32(batch)), variables)
+        want = step(raw, args[3], args[4], key, variables)
         np.testing.assert_array_equal(np.asarray(got[2]),
                                       np.asarray(want[2]))  # success
         for g, w in zip(got[:2], want[:2]):
@@ -137,6 +137,25 @@ def test_poly_batch_export_serves_any_batch(setup, tmp_path):
     ds = _StubDataset()
     Rs, ts, ok = serve_dataset(prog, ds, seed=4, batch_size=2)
     assert Rs.shape == (3, 3, 3) and ok.shape == (3,)
+
+
+def test_cross_lower_tpu_blob_with_forced_pallas(setup):
+    """Production TPU artifacts are buildable from a cpu-default host:
+    platforms=['tpu'] + use_kernel=True lowers the Pallas hypothesis
+    kernel via Mosaic AOT and the blob round-trips with its platform
+    metadata (execution obviously needs a TPU)."""
+    from zebrapose_tpu.eval.export_serving import build_serving_fn
+
+    model, variables, lut, _ = setup
+    serve = build_serving_fn(
+        model, variables, lut, crop_img=128, crop_gt=64, base=2,
+        n_bits=N_BITS, resize_method="crop_square_resize",
+        loss_type="BCE", pnp_cfg=PNP, use_kernel=True)
+    blob = export_serving(serve, batch=2, image_hw=(H, W),
+                          platforms=["tpu"])
+    prog = load_serving(blob)
+    assert prog.platforms == ("tpu",)
+    assert prog.batch == 2
 
 
 def test_fleet_export_roundtrip_bit_exact(setup):
@@ -166,9 +185,10 @@ def test_fleet_export_roundtrip_bit_exact(setup):
     assert prog.meta["obj_names"] == ["ape", "cat"]
 
     rng = np.random.default_rng(21)
+    key = jax.random.PRNGKey(3)
     rgb, roi, valid, fb, K = _feed(4, rng)
     args = (jnp.asarray(rgb), jnp.asarray(roi), jnp.asarray(valid),
-            jnp.asarray(fb), jnp.asarray(K), jnp.uint32(3))
+            jnp.asarray(fb), jnp.asarray(K), key)
     got = prog(*args)
     assert np.asarray(got[0]).shape == (2, 2, 3, 3)
 
@@ -177,8 +197,7 @@ def test_fleet_export_roundtrip_bit_exact(setup):
         lambda b, v: model.apply(v, b["image"], train=False), lp, lv,
         **kw)
     raw = {"rgb": args[0], "roi_param": args[1], "valid": args[2]}
-    want = step(raw, args[3], args[4],
-                jax.random.PRNGKey(jnp.uint32(3)),
+    want = step(raw, args[3], args[4], key,
                 stack_variables([variables, variables2]), n_models=2)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
@@ -203,7 +222,8 @@ def test_fleet_guards(setup):
 
 class _StubDataset:
     """collate-compatible stand-in: 3 samples, so batch=2 forces one
-    zero-padded tail batch (valid=0 marks padding)."""
+    zero-padded tail batch (valid=0 marks padding). Includes the GT
+    channels the production drivers' feed extraction expects."""
 
     def __init__(self):
         rng = np.random.default_rng(3)
@@ -215,8 +235,13 @@ class _StubDataset:
     def collate(self, indices):
         parts = [self.raws[i] for i in indices]
         names = ("rgb", "roi_param", "valid", "final_bbox", "K")
-        return {n: np.concatenate([p[j] for p in parts])
-                for j, n in enumerate(names)}
+        out = {n: np.concatenate([p[j] for p in parts])
+               for j, n in enumerate(names)}
+        m = len(indices)
+        out["label"] = np.zeros((m, H, W, 3), np.uint8)
+        out["mask"] = np.zeros((m, H, W), np.uint8)
+        out["entire_mask"] = np.zeros((m, H, W), np.uint8)
+        return out
 
 
 def test_serve_dataset_pads_tail(setup, tmp_path):
@@ -229,13 +254,14 @@ def test_serve_dataset_pads_tail(setup, tmp_path):
     assert Rs.shape == (3, 3, 3) and ts.shape == (3, 3)
     assert ok.shape == (3,) and ok.dtype == bool
 
-    # first full batch must equal a direct call with the same seed
+    # first full batch must equal a direct call with run_inference's
+    # key stream (fold_in(PRNGKey(seed), batch_start))
     raw = ds.collate([0, 1])
     direct = prog(jnp.asarray(raw["rgb"]),
                   jnp.asarray(raw["roi_param"].astype(np.int32)),
                   jnp.asarray(raw["valid"].astype(np.float32)),
                   jnp.asarray(raw["final_bbox"].astype(np.int32)),
                   jnp.asarray(raw["K"].astype(np.float32)),
-                  jnp.uint32(9))
+                  jax.random.fold_in(jax.random.PRNGKey(9), 0))
     np.testing.assert_array_equal(Rs[:2], np.asarray(direct[0]))
     np.testing.assert_array_equal(ts[:2], np.asarray(direct[1]))

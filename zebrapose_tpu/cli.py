@@ -212,6 +212,18 @@ def main(argv=None):
                        help="RANSAC hypothesis count baked into the blob")
     p_srv.add_argument("--max_points", type=int, default=4096,
                        help="correspondence subset capacity baked in")
+    p_srv.add_argument("--f32", action="store_true",
+                       help="bake f32 model compute (default bf16 is the "
+                            "production serving dtype; the `test` "
+                            "command evaluates in f32 — export --f32 to "
+                            "reproduce its CSV bit-for-bit)")
+    p_srv.add_argument("--pallas", default="auto",
+                       choices=["auto", "on", "off"],
+                       help="RANSAC hypothesis-stage backend: auto = "
+                            "trace-time dispatch (picks the jnp path "
+                            "when exporting from a cpu-default process), "
+                            "on = force the Pallas TPU kernel into the "
+                            "blob, off = force the jnp path")
 
     p_srvf = sub.add_parser(
         "export-serving-fleet",
@@ -232,6 +244,10 @@ def main(argv=None):
     p_srvf.add_argument("--platforms", nargs="+", default=None)
     p_srvf.add_argument("--n_hypotheses", type=int, default=128)
     p_srvf.add_argument("--max_points", type=int, default=4096)
+    p_srvf.add_argument("--f32", action="store_true",
+                        help="bake f32 model compute (default bf16)")
+    p_srvf.add_argument("--pallas", default="auto",
+                        choices=["auto", "on", "off"])
 
     p_sedf = sub.add_parser(
         "serve-exported-fleet",
@@ -389,7 +405,8 @@ def main(argv=None):
             resnet_layers=cfg.resnet_layer,
             concat=cfg.concat_encoder_decoder,
             output_kernel_size=cfg.output_kernel_size,
-            dtype=jnp.bfloat16, quant=args.int8)
+            dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+            quant=args.int8)
         variables = load_model_variables(
             args.ckpt_file, model, args.variant,
             cfg.BoundingBox_CropSize_image,
@@ -405,7 +422,9 @@ def main(argv=None):
             loss_type=cfg.BinaryCode_Loss_Type,
             pnp_cfg=PnPConfig(n_hypotheses=args.n_hypotheses,
                               max_points=args.max_points),
-            ignore_bits=args.ignore_bit)
+            ignore_bits=args.ignore_bit,
+            use_kernel={"auto": None, "on": True,
+                        "off": False}[args.pallas])
         blob = export_serving(serve, args.batch or None,
                               (args.image_h, args.image_w),
                               platforms=args.platforms,
@@ -463,7 +482,8 @@ def main(argv=None):
             resnet_layers=cfg.resnet_layer,
             concat=cfg.concat_encoder_decoder,
             output_kernel_size=cfg.output_kernel_size,
-            dtype=jnp.bfloat16, quant=args.int8)
+            dtype=jnp.float32 if args.f32 else jnp.bfloat16,
+            quant=args.int8)
         variables_list = [
             load_model_variables(
                 ck, model, args.variant, cfg.BoundingBox_CropSize_image,
@@ -479,7 +499,9 @@ def main(argv=None):
             resize_method=cfg.resize_method,
             loss_type=cfg.BinaryCode_Loss_Type,
             pnp_cfg=PnPConfig(n_hypotheses=args.n_hypotheses,
-                              max_points=args.max_points))
+                              max_points=args.max_points),
+            use_kernel={"auto": None, "on": True,
+                        "off": False}[args.pallas])
         blob = export_serving(
             serve, args.batch or None, (args.image_h, args.image_w),
             platforms=args.platforms, n_models=len(args.obj_names),

@@ -65,14 +65,18 @@ def make_eval_step(forward_fn, lut: CorrespondenceLUT,
                    return_masks: bool = False,
                    return_codes: bool = False,
                    mask_from_dataset: bool = False,
-                   preprocess_gt: bool = True):
+                   preprocess_gt: bool = True,
+                   use_kernel: Optional[bool] = None):
     """Build the jitted batch program: raw images -> (R, t, success).
 
     forward_fn(batch, variables) -> {"mask", "code", ...} logits; for the
     real model use
     `lambda b, v: model.apply(v, b["image"], train=False)`. `variables`
     is threaded through the jitted step so one compiled program serves
-    every validation checkpoint during training.
+    every validation checkpoint during training. use_kernel overrides
+    the RANSAC hypothesis-stage backend dispatch (True forces the Pallas
+    kernel into the trace — needed when AOT-exporting for TPU from a
+    cpu-default process; see eval/export_serving.py).
     """
     if ignore_bits:
         lut = reduce_lut_ignore_bits(lut, ignore_bits)
@@ -109,7 +113,7 @@ def make_eval_step(forward_fn, lut: CorrespondenceLUT,
         poses = decode_to_pose_batch(
             masks * raw["valid"][:, None, None], codes, lut_points,
             lut_valid, final_bbox, K, keys, bbox_size=crop_gt,
-            base=base, cfg=pnp_cfg)
+            base=base, cfg=pnp_cfg, use_kernel=use_kernel)
         extra = ()
         if return_masks:
             if mask_from_dataset:

@@ -15,19 +15,21 @@ Interface of the exported program (shapes fixed at export time, or a
 symbolic batch via batch=None — shape polymorphism):
 
     (rgb[B,H,W,3] u8, roi_param[B,5] i32, valid[B] f32,
-     final_bbox[B,4] i32, K[B,3,3] f32, seed[] u32)
+     final_bbox[B,4] i32, K[B,3,3] f32, key[2] u32)
         -> (R[B,3,3] f32, t[B,3] f32, success[B] bool, n_inliers[B] i32)
 
 `roi_param`/`final_bbox` are the host-side integer bbox products of
-`CropDatasetHost.collate` (the only host math in the pipeline); `seed`
-derives the RANSAC sampling key exactly as the runners do
-(`key = PRNGKey(seed)`, split per sample inside the program).
+`CropDatasetHost.collate` (the only host math in the pipeline); `key`
+is raw PRNGKey data for the RANSAC sampling, threaded to the program
+exactly as the runners thread it — the drivers below reuse
+run_inference / fleet_infer, so a fixed-batch blob's key stream (and
+therefore its poses) is bit-identical to the live eval path's at the
+same batch size.
 
 Platform note: the hypothesis-stage Pallas kernel dispatches at trace
 time on `jax.default_backend()` (ops/pnp_kernel.py), so a blob exported
 FOR tpu FROM a cpu-default process falls back to the (identical-output,
-slower) jnp hypothesis path. Export on the target platform — or pass
-use_kernel explicitly — to get the kernel into the artifact.
+slower) jnp hypothesis path unless use_kernel/--pallas forces it.
 """
 
 from __future__ import annotations
@@ -50,7 +52,8 @@ def build_serving_fn(model, variables, lut: CorrespondenceLUT,
                      crop_img: int, crop_gt: int, base: int, n_bits: int,
                      resize_method: str, loss_type: str,
                      pnp_cfg: PnPConfig, ignore_bits: int = 0,
-                     mask_from_dataset: bool = False):
+                     mask_from_dataset: bool = False,
+                     use_kernel: Optional[bool] = None):
     """Close the production eval step over (variables, LUT).
 
     Wraps `make_eval_step` itself, so the serving graph is the
@@ -59,7 +62,9 @@ def build_serving_fn(model, variables, lut: CorrespondenceLUT,
     mask-rcnn variant (detector RLE masks arrive pre-rasterized in the
     dataset's `mask` channel; that channel is not part of the serving
     signature, so the flag is rejected here — export the plain variant
-    and gate decode host-side instead).
+    and gate decode host-side instead). use_kernel=True forces the
+    Pallas hypothesis kernel into the trace (export FOR tpu FROM a
+    cpu-default process otherwise bakes the slower jnp path).
     """
     import jax
     import jax.numpy as jnp
@@ -74,12 +79,12 @@ def build_serving_fn(model, variables, lut: CorrespondenceLUT,
         lambda b, v: model.apply(v, b["image"], train=False), lut,
         crop_img=crop_img, crop_gt=crop_gt, base=base, n_bits=n_bits,
         resize_method=resize_method, loss_type=loss_type,
-        pnp_cfg=pnp_cfg, ignore_bits=ignore_bits, preprocess_gt=False)
+        pnp_cfg=pnp_cfg, ignore_bits=ignore_bits, preprocess_gt=False,
+        use_kernel=use_kernel)
     const_vars = jax.tree.map(jnp.asarray, variables)
 
-    def serve(rgb, roi_param, valid, final_bbox, K, seed):
+    def serve(rgb, roi_param, valid, final_bbox, K, key):
         raw = {"rgb": rgb, "roi_param": roi_param, "valid": valid}
-        key = jax.random.PRNGKey(seed)
         return step(raw, final_bbox, K, key, const_vars)
 
     return serve
@@ -114,7 +119,7 @@ def export_serving(serve_fn, batch: Optional[int],
         jax.ShapeDtypeStruct((rows,), jnp.float32),
         jax.ShapeDtypeStruct((rows, 4), jnp.int32),
         jax.ShapeDtypeStruct((rows, 3, 3), jnp.float32),
-        jax.ShapeDtypeStruct((), jnp.uint32),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),   # raw PRNGKey data
     )
     kwargs = {}
     if platforms is not None:
@@ -173,11 +178,24 @@ def load_serving(blob_or_path) -> ServingProgram:
                           meta)
 
 
+def _check_frame_size(prog: "ServingProgram", dataset) -> None:
+    """Fail with an actionable message (not a deep jax.export shape
+    error) when the split's frames don't match the artifact's."""
+    if len(dataset) == 0:
+        return
+    hw = tuple(dataset.get_raw(0)["rgb"].shape[:2])
+    if hw != prog.image_hw:
+        raise ValueError(
+            f"artifact was exported for frames {prog.image_hw}, split "
+            f"ships {hw} — re-export with --image_h/--image_w")
+
+
 def build_fleet_serving_fn(model, variables_list: List[dict],
                            luts: List[CorrespondenceLUT],
                            crop_img: int, crop_gt: int, base: int,
                            n_bits: int, resize_method: str,
-                           loss_type: str, pnp_cfg: PnPConfig):
+                           loss_type: str, pnp_cfg: PnPConfig,
+                           use_kernel: Optional[bool] = None):
     """K per-object models in ONE artifact (the fleet_serve program:
     stacked variables + LUTs, one vmapped forward, per-object decode
     scan). Inputs are flat [K*B, ...] rows in object-major order;
@@ -197,15 +215,24 @@ def build_fleet_serving_fn(model, variables_list: List[dict],
         lambda b, v: model.apply(v, b["image"], train=False), lp, lv,
         crop_img=crop_img, crop_gt=crop_gt, base=base, n_bits=n_bits,
         resize_method=resize_method, loss_type=loss_type,
-        pnp_cfg=pnp_cfg, mesh=None)
+        pnp_cfg=pnp_cfg, mesh=None, use_kernel=use_kernel)
     k = len(luts)
 
-    def serve(rgb, roi_param, valid, final_bbox, K, seed):
+    def serve(rgb, roi_param, valid, final_bbox, K, key):
         raw = {"rgb": rgb, "roi_param": roi_param, "valid": valid}
-        key = jax.random.PRNGKey(seed)
         return step(raw, final_bbox, K, key, stacked, n_models=k)
 
     return serve
+
+
+def _adapter_args(feed, final_bbox, K, key):
+    """Marshal a runner feed into the serving signature."""
+    import jax.numpy as jnp
+
+    return (jnp.asarray(feed["rgb"]),
+            jnp.asarray(np.asarray(feed["roi_param"]).astype(np.int32)),
+            jnp.asarray(np.asarray(feed["valid"]).astype(np.float32)),
+            jnp.asarray(final_bbox), jnp.asarray(K), jnp.asarray(key))
 
 
 def serve_fleet_datasets(fn: "ServingProgram", datasets, seed: int = 0,
@@ -213,53 +240,23 @@ def serve_fleet_datasets(fn: "ServingProgram", datasets, seed: int = 0,
                          ) -> Tuple[List[np.ndarray], List[np.ndarray],
                                     List[np.ndarray]]:
     """Drive K per-object dataset walks through a loaded FLEET artifact
-    in lockstep (fleet_infer semantics: short datasets pad with valid=0
-    rows / whole zero batches). Returns per-object (Rs, ts, ok).
-    batch_size applies to poly_batch artifacts only."""
-    import jax.numpy as jnp
+    — literally `fleet_infer` (lockstep, valid=0 padding, the live
+    path's fold_in key stream) with the blob standing in for the jitted
+    fleet step. Returns per-object (Rs, ts, ok). batch_size applies to
+    poly_batch artifacts only."""
+    import jax
+
+    from zebrapose_tpu.eval.fleet_serve import fleet_infer
 
     if fn.n_models != len(datasets):
         raise ValueError(f"artifact serves {fn.n_models} models, got "
                          f"{len(datasets)} datasets")
-    batch = fn.batch or batch_size
-    lens = [len(d) for d in datasets]
-    n_max = max(lens)
-    Rs = [np.zeros((n, 3, 3), np.float32) for n in lens]
-    ts = [np.zeros((n, 3), np.float32) for n in lens]
-    ok = [np.zeros((n,), bool) for n in lens]
-    names = ("rgb", "roi_param", "valid", "final_bbox", "K")
-    zero_raw = None
-    for start in range(0, n_max, batch):
-        feeds = []
-        for ds, n in zip(datasets, lens):
-            idx = list(range(start, min(start + batch, n)))
-            if idx:
-                raw = ds.collate(idx)
-                m = len(idx)
-                if m < batch:
-                    pad = [(0, batch - m)]
-                    raw = {k: np.pad(v, pad + [(0, 0)] * (v.ndim - 1))
-                           for k, v in raw.items()}
-                if zero_raw is None:
-                    zero_raw = {k: np.zeros_like(raw[k]) for k in names}
-            else:
-                raw = zero_raw
-            feeds.append(raw)
-        cat = {k: np.concatenate([f[k] for f in feeds]) for k in names}
-        out = fn(jnp.asarray(cat["rgb"]),
-                 jnp.asarray(cat["roi_param"].astype(np.int32)),
-                 jnp.asarray(cat["valid"].astype(np.float32)),
-                 jnp.asarray(cat["final_bbox"].astype(np.int32)),
-                 jnp.asarray(cat["K"].astype(np.float32)),
-                 jnp.uint32(seed + start))
-        R_b, t_b, ok_b = (np.asarray(o) for o in out[:3])
-        for i, n in enumerate(lens):
-            m = max(0, min(batch, n - start))
-            if m:
-                Rs[i][start:start + m] = R_b[i, :m]
-                ts[i][start:start + m] = t_b[i, :m]
-                ok[i][start:start + m] = ok_b[i, :m]
-    return Rs, ts, ok
+
+    def step(feed, final_bbox, K, key, variables, n_models):
+        return fn(*_adapter_args(feed, final_bbox, K, key))
+
+    return fleet_infer(datasets, step, None, fn.batch or batch_size,
+                       jax.random.PRNGKey(seed))
 
 
 def run_serve_exported_fleet(cfg, obj_names: List[str], blob_path: str,
@@ -289,6 +286,10 @@ def run_serve_exported_fleet(cfg, obj_names: List[str], blob_path: str,
                                     data_folder=cfg.test_folder)
     oes = [prepare_object_eval(cfg, n, max_samples=max_samples,
                                samples=shared) for n in obj_names]
+    for name, oe in zip(obj_names, oes):
+        if len(oe.dataset) == 0:
+            raise ValueError(f"object {name}: empty eval split")
+    _check_frame_size(prog, oes[0].dataset)
     Rs, ts, ok = serve_fleet_datasets(prog, [oe.dataset for oe in oes],
                                       seed=seed, batch_size=batch_size)
 
@@ -296,6 +297,10 @@ def run_serve_exported_fleet(cfg, obj_names: List[str], blob_path: str,
     csvs = []
     solved = {}
     for i, (name, oe) in enumerate(zip(obj_names, oes)):
+        for j in range(len(oe.dataset)):
+            if not ok[i][j]:  # reference: identity R / zero t in CSV
+                Rs[i][j] = np.eye(3)
+                ts[i][j] = 0
         ids = parse_sample_ids(oe.dataset.rgb_files)
         csvs.append(write_csv(
             os.path.join(output_dir, "pose_result_bop"),
@@ -321,8 +326,10 @@ def run_serve_exported(cfg, obj_name: str, blob_path: str,
     detections the config names, answer every instance from the serving
     blob alone (no checkpoint, no model build), write the BOP CSV.
 
-    The dataset walk is the same one `run_test` uses, so the CSV is
-    byte-compatible with the per-object evaluation path's."""
+    The dataset walk, key stream, tail padding and failed-pose rows
+    (identity R / zero t) all match `run_test`'s, so a fixed-batch blob
+    exported from the same checkpoint at run_test's batch size and
+    model dtype reproduces its CSV byte-for-byte."""
     import os
 
     from zebrapose_tpu.data.bop_writer import parse_sample_ids, write_csv
@@ -330,16 +337,15 @@ def run_serve_exported(cfg, obj_name: str, blob_path: str,
 
     prog = load_serving(blob_path)
     oe = prepare_object_eval(cfg, obj_name, max_samples=max_samples)
-    hw = (oe.dataset.get_raw(0)["rgb"].shape[:2]
-          if len(oe.dataset) else prog.image_hw)
-    if tuple(hw) != prog.image_hw:
-        raise ValueError(
-            f"artifact was exported for frames {prog.image_hw}, split "
-            f"ships {tuple(hw)} — re-export with --image_h/--image_w")
+    _check_frame_size(prog, oe.dataset)
     Rs, ts, ok = serve_dataset(prog, oe.dataset, seed=seed,
                                batch_size=batch_size)
 
     os.makedirs(output_dir, exist_ok=True)
+    for j in range(len(oe.dataset)):
+        if not ok[j]:  # reference: identity R / zero t in the CSV
+            Rs[j] = np.eye(3)
+            ts[j] = 0
     ids = parse_sample_ids(oe.dataset.rgb_files)
     scores = (oe.scores if oe.scores is not None
               else [1.0] * len(oe.dataset))
@@ -354,36 +360,21 @@ def run_serve_exported(cfg, obj_name: str, blob_path: str,
 def serve_dataset(fn, dataset, seed: int = 0,
                   batch_size: int = 16) -> Tuple[
         np.ndarray, np.ndarray, np.ndarray]:
-    """Run a CropDatasetHost walk through a loaded serving program.
-
-    Tail batches are zero-padded (valid=0 marks padding, exactly like
-    `run_inference`). Returns (R [N,3,3], t [N,3], success [N]).
+    """Run a CropDatasetHost walk through a loaded serving program —
+    literally `run_inference` (producer-thread collate pipelining,
+    valid=0 tail padding, the live path's fold_in(PRNGKey(seed), start)
+    key stream) with the blob standing in for the jitted eval step, so
+    a fixed-batch blob reproduces run_test's poses bit-for-bit at the
+    same batch size. Returns (R [N,3,3], t [N,3], success [N]).
     batch_size applies to poly_batch artifacts only (fixed-batch blobs
-    dictate their own; padding keeps poly blobs on one compiled size)."""
-    import jax.numpy as jnp
+    dictate their own)."""
+    from zebrapose_tpu.eval.evaluate import run_inference
 
     if getattr(fn, "n_models", 1) != 1:
         raise ValueError("fleet artifact: use serve_fleet_datasets")
-    batch = fn.batch or batch_size
-    n = len(dataset)
-    Rs = np.zeros((n, 3, 3), np.float32)
-    ts = np.zeros((n, 3), np.float32)
-    ok = np.zeros((n,), bool)
-    for start in range(0, n, batch):
-        idx = list(range(start, min(start + batch, n)))
-        raw = dataset.collate(idx)
-        m = len(idx)
-        if m < batch:
-            pad = [(0, batch - m)]
-            raw = {k: np.pad(v, pad + [(0, 0)] * (v.ndim - 1))
-                   for k, v in raw.items()}
-        out = fn(jnp.asarray(raw["rgb"]),
-                 jnp.asarray(raw["roi_param"].astype(np.int32)),
-                 jnp.asarray(raw["valid"].astype(np.float32)),
-                 jnp.asarray(raw["final_bbox"].astype(np.int32)),
-                 jnp.asarray(raw["K"].astype(np.float32)),
-                 jnp.uint32(seed + start))
-        Rs[start:start + m] = np.asarray(out[0])[:m]
-        ts[start:start + m] = np.asarray(out[1])[:m]
-        ok[start:start + m] = np.asarray(out[2])[:m]
-    return Rs, ts, ok
+
+    def step(feed, final_bbox, K, key, variables):
+        return fn(*_adapter_args(feed, final_bbox, K, key))
+
+    return run_inference(dataset, step,
+                         batch_size=fn.batch or batch_size, seed=seed)

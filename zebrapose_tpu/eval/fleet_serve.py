@@ -61,7 +61,8 @@ def make_fleet_eval_step(forward_fn, lut_points: np.ndarray,
                          n_bits: int, resize_method: str, loss_type: str,
                          pnp_cfg: PnPConfig,
                          preprocess_gt: bool = False,
-                         mesh: Optional[Mesh] = None):
+                         mesh: Optional[Mesh] = None,
+                         use_kernel: Optional[bool] = None):
     """Build the jitted fleet batch program.
 
     step(raw, final_bbox, Ks, key, variables, n_models) -> (R [K,B,3,3],
@@ -94,7 +95,8 @@ def make_fleet_eval_step(forward_fn, lut_points: np.ndarray,
             dkeys = jax.random.split(key_k, m.shape[0])
             return None, decode_to_pose_batch(
                 m * vld[:, None, None], c, lpk, lvk, bb, kk, dkeys,
-                bbox_size=crop_gt, base=base, cfg=pnp_cfg)
+                bbox_size=crop_gt, base=base, cfg=pnp_cfg,
+                use_kernel=use_kernel)
 
         _, poses = jax.lax.scan(
             body, None, (masks, codes, valid, bboxes, Kk, lp_l, lv_l,
@@ -136,6 +138,11 @@ def fleet_infer(datasets, fleet_step, variables, batch_size: int,
 
     k = len(datasets)
     lens = [len(d) for d in datasets]
+    if any(n == 0 for n in lens):
+        # an empty dataset never primes zero_raw (no collate to copy
+        # shapes from) — callers must filter/refuse empties up front
+        raise ValueError(
+            f"empty dataset(s) in fleet walk (lengths {lens})")
     n_max = max(lens)
     Rs = [np.zeros((n, 3, 3), np.float32) for n in lens]
     ts = [np.zeros((n, 3), np.float32) for n in lens]
