@@ -78,6 +78,32 @@ def test_fleet_serve_matches_single_object_steps(tmp_path):
     assert np.asarray(ok[0]).all()
 
 
+def test_fleet_serve_mask_from_dataset_matches_single(tmp_path):
+    """Mask-RCNN fleet variant: the dataset mask (RLE-decoded upstream)
+    gates each object's decode, bit-equal to the single-object
+    make_eval_step(mask_from_dataset=True) per object."""
+    (lut1, lut2), feed, bbox, K = _setup(tmp_path)
+    kw = dict(crop_img=128, crop_gt=64, base=2, n_bits=N_BITS,
+              resize_method="crop_square_resize", loss_type="BCE",
+              pnp_cfg=PNP)
+    lp, lv = stack_luts([lut1, lut2])
+    fleet_step = make_fleet_eval_step(
+        _gt_oracle_forward, lp, lv, mask_from_dataset=True, **kw)
+    cat = {kk: jnp.concatenate([v, v]) for kk, v in feed.items()}
+    key = jax.random.PRNGKey(3)
+    variables = stack_variables([{"w": jnp.zeros(1)}, {"w": jnp.zeros(1)}])
+    out = fleet_step(cat, jnp.concatenate([bbox, bbox]),
+                     jnp.concatenate([K, K]), key, variables, n_models=2)
+    for k, lut in enumerate([lut1, lut2]):
+        single = make_eval_step(_gt_oracle_forward, lut,
+                                mask_from_dataset=True,
+                                preprocess_gt=False, **kw)(
+            feed, bbox, K, jax.random.fold_in(key, k), {})
+        for a, b in zip(out, single):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b))
+    assert np.asarray(out[2][0]).all()  # object 1 actually solves
+
+
 def test_fleet_serve_shard_map_path_matches(tmp_path):
     (lut1, lut2), feed, bbox, K = _setup(tmp_path)
     kw = dict(crop_img=128, crop_gt=64, base=2, n_bits=N_BITS,

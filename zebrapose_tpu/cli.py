@@ -128,6 +128,10 @@ def main(argv=None):
     p_tf.add_argument("--max_samples", type=int, default=None)
     p_tf.add_argument("--int8", action="store_true",
                       help="conv compute on the TPU int8 MXU path")
+    p_tf.add_argument("--mask_rcnn", action="store_true",
+                      help="use each object's detector RLE segmentation "
+                           "instead of its mask head "
+                           "(test_for_mask_rcnn.py)")
 
     p_vivo = sub.add_parser("vivo",
                             help="multi-instance eval (test_vivo)")
@@ -544,7 +548,8 @@ def main(argv=None):
             res = run_test_fleet(
                 cfg, args.obj_names, args.ckpt_files, run_dir,
                 variant=args.variant, batch_size=args.batch_size,
-                int8=args.int8, max_samples=args.max_samples)
+                int8=args.int8, max_samples=args.max_samples,
+                mask_rcnn=args.mask_rcnn)
             print(json.dumps(res, indent=2))
         return 0
 

@@ -61,6 +61,7 @@ def make_fleet_eval_step(forward_fn, lut_points: np.ndarray,
                          n_bits: int, resize_method: str, loss_type: str,
                          pnp_cfg: PnPConfig,
                          preprocess_gt: bool = False,
+                         mask_from_dataset: bool = False,
                          mesh: Optional[Mesh] = None,
                          use_kernel: Optional[bool] = None):
     """Build the jitted fleet batch program.
@@ -70,6 +71,11 @@ def make_fleet_eval_step(forward_fn, lut_points: np.ndarray,
     [K*B, ...] in object-major order; `variables` is the stacked tree
     (stack_variables); object k's results reproduce the single-object
     make_eval_step called with fold_in(key, k).
+
+    mask_from_dataset: Mask-RCNN variant — the detector's RLE mask
+    (threaded through the dataset as batch["mask"]) replaces each
+    network's mask head for decode, exactly as the single-object step
+    does (reference test_for_mask_rcnn.py:248-251).
     """
     lp = jnp.asarray(lut_points)
     lv = jnp.asarray(lut_valid)
@@ -79,12 +85,16 @@ def make_fleet_eval_step(forward_fn, lut_points: np.ndarray,
         batch = preprocess_batch(
             raw, obj_keys[0], crop_img=crop_img, crop_gt=crop_gt,
             base=base, n_bits=n_bits, is_train=False,
-            resize_method=resize_method, include_gt=preprocess_gt)
+            resize_method=resize_method,
+            include_gt=preprocess_gt or mask_from_dataset)
         batch = jax.tree.map(
             lambda x: x.reshape((k_l, -1) + x.shape[1:]), batch)
         out = jax.vmap(forward_fn)(batch, variables)
 
-        masks = mask_from_logits(out["mask"][..., 0])
+        if mask_from_dataset:
+            masks = (batch["mask"] > 0.5).astype(jnp.float32)
+        else:
+            masks = mask_from_logits(out["mask"][..., 0])
         codes = code_from_logits(out["code"], loss_type, base=base)
         valid = raw["valid"].reshape(k_l, -1)
         bboxes = final_bbox.reshape((k_l, -1) + final_bbox.shape[1:])
@@ -183,13 +193,15 @@ def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
                    pnp_cfg: Optional[PnPConfig] = None,
                    int8: bool = False,
                    max_samples: Optional[int] = None,
+                   mask_rcnn: bool = False,
                    mesh: Optional[Mesh] = None) -> dict:
     """Evaluate K objects with ONE program (the fleet analog of
-    runner.run_test without refine/debug/mask-rcnn): per-object BOP
-    datasets advance in lockstep (short datasets pad with valid=0
-    batches), every step is one fleet_eval_step dispatch, and each
-    object gets the standard artifact set (BOP CSV + ADD metrics) plus
-    one merged submission CSV."""
+    runner.run_test without refine/debug): per-object BOP datasets
+    advance in lockstep (short datasets pad with valid=0 batches),
+    every step is one fleet_eval_step dispatch, and each object gets
+    the standard artifact set (BOP CSV + ADD metrics) plus one merged
+    submission CSV. mask_rcnn uses each object's detector RLE
+    segmentation instead of its mask head (test_for_mask_rcnn.py)."""
     from zebrapose_tpu.data.bop_writer import (merge_csv,
                                                parse_sample_ids,
                                                write_csv)
@@ -210,7 +222,7 @@ def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
                                     train=False, eval_model=True,
                                     data_folder=cfg.test_folder)
     oes = [prepare_object_eval(cfg, n, max_samples=max_samples,
-                               samples=shared)
+                               mask_rcnn=mask_rcnn, samples=shared)
            for n in obj_names]
     for n, oe in zip(obj_names, oes):
         if len(oe.dataset) == 0:
@@ -238,7 +250,8 @@ def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
         n_bits=cfg.number_of_itration,
         resize_method=cfg.resize_method,
         loss_type=cfg.BinaryCode_Loss_Type,
-        pnp_cfg=pnp_cfg or PnPConfig(), mesh=mesh)
+        pnp_cfg=pnp_cfg or PnPConfig(), mask_from_dataset=mask_rcnn,
+        mesh=mesh)
 
     lens = [len(oe.dataset) for oe in oes]
     Rs, ts, ok = fleet_infer([oe.dataset for oe in oes], step,
