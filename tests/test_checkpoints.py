@@ -53,6 +53,19 @@ def test_rolling_keep_3(tmp_path):
     mgr.close()
 
 
+def test_async_save_visible_after_reader_barrier(tmp_path):
+    """save() is async (the disk write overlaps training); any reader
+    (latest_step/restore) synchronizes first, so a just-issued save is
+    always visible through the public API."""
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    state = _mk_state().replace(step=jnp.asarray(11, jnp.int32))
+    mgr.save(state)                      # no explicit wait
+    assert mgr.latest_step() == 11       # reader barrier
+    restored = mgr.restore(_mk_state())
+    assert int(restored.step) == 11
+    mgr.close()
+
+
 def test_restore_empty_returns_template(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ck"))
     state = _mk_state()

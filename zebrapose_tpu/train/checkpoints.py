@@ -49,16 +49,22 @@ class CheckpointManager:
 
     # -- rolling ----------------------------------------------------------
     def save(self, state: TrainState) -> None:
+        """Async rolling save: the device->host copy happens here, the
+        disk write overlaps subsequent train steps (the reference's
+        torch.save blocks the loop for the whole write). Readers
+        (latest_step/restore/close) synchronize first, and orbax
+        serializes overlapping saves internally."""
         self._mgr.save(int(jax.device_get(state.step)),
                        args=ocp.args.StandardSave(_state_payload(state)))
-        self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, state: TrainState,
                 step: Optional[int] = None) -> TrainState:
         """Restore into the (freshly initialized) `state` template."""
+        self._mgr.wait_until_finished()
         step = self._mgr.latest_step() if step is None else step
         if step is None:
             return state
@@ -96,5 +102,13 @@ class CheckpointManager:
         payload = self._ckptr.restore(path, target=target)
         return state.replace(**payload)
 
+    def wait(self):
+        """Block until in-flight async rolling saves are durable. The
+        train loop calls this before returning: a process exiting with
+        a save still in flight leaves only an orbax tmp dir behind (no
+        checkpoint) — caught by the CLI verify drive."""
+        self._mgr.wait_until_finished()
+
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()

@@ -338,4 +338,5 @@ def fit_fleet(fleet: FleetResources, log_freq: int = 1000,
     finally:
         for m in members:
             m.train_iter.close()
+            m.ckpt.wait()   # drain async saves before the process exits
     return best

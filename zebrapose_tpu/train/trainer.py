@@ -255,6 +255,7 @@ def fit(res: TrainResources, log_freq: int = 1000,
                     res.logger.log(it + 1, vals, prefix="val/")
     finally:
         res.train_iter.close()
+        res.ckpt.wait()   # drain async saves before the process can exit
     return best
 
 
