@@ -133,6 +133,25 @@ def main(argv=None):
                            "instead of its mask head "
                            "(test_for_mask_rcnn.py)")
 
+    p_vf = sub.add_parser(
+        "vivo-fleet",
+        help="multi-instance eval of K objects with one fleet program "
+             "(the reference runs test_vivo.py once per object)")
+    p_vf.add_argument("--cfg", required=True)
+    p_vf.add_argument("--obj_names", required=True, nargs="+")
+    p_vf.add_argument("--ckpt_files", required=True, nargs="+",
+                      help="one checkpoint (orbax dir or .pth) per object")
+    p_vf.add_argument("--output_dir", default="eval_out")
+    p_vf.add_argument("--variant", default="v2",
+                      choices=["v1", "v2", "v3"])
+    p_vf.add_argument("--score_threshold", type=float, default=0.2)
+    p_vf.add_argument("--batch_size", type=int, default=16)
+    p_vf.add_argument("--int8", action="store_true",
+                      help="conv compute on the TPU int8 MXU path")
+    p_vf.add_argument("--mask_rcnn", action="store_true",
+                      help="use detector RLE segmentations "
+                           "(test_vivo_for_mask_rcnn.py)")
+
     p_vivo = sub.add_parser("vivo",
                             help="multi-instance eval (test_vivo)")
     _add_common(p_vivo)
@@ -533,6 +552,25 @@ def main(argv=None):
                          max_steps=args.max_steps)
         for name, b in zip(args.obj_names, best):
             print(f"{name}: best val recall {b}")
+        return 0
+
+    if args.command == "vivo-fleet":
+        from zebrapose_tpu.eval.fleet_serve import run_vivo_fleet
+        from zebrapose_tpu.utils.logging import TeeOutput, prepare_eval_dir
+        items = dict(cfg.to_dict())
+        items.update({"obj_names": " ".join(args.obj_names),
+                      "checkpoint_files": " ".join(args.ckpt_files),
+                      "command": "vivo-fleet"})
+        run_dir = prepare_eval_dir(args.output_dir, items)
+        with TeeOutput(os.path.join(run_dir, "log.txt")):
+            print(f"eval run dir: {run_dir}")
+            res = run_vivo_fleet(
+                cfg, args.obj_names, args.ckpt_files, run_dir,
+                variant=args.variant,
+                score_threshold=args.score_threshold,
+                batch_size=args.batch_size, int8=args.int8,
+                mask_rcnn=args.mask_rcnn)
+            print(json.dumps(res, indent=2))
         return 0
 
     if args.command == "test-fleet":

@@ -280,3 +280,108 @@ def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
     merged = merge_csv(csvs, os.path.join(
         output_dir, f"{cfg.dataset_name}_fleet.csv"))
     return {"per_object": per_object, "merged_csv": merged}
+
+
+def run_vivo_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
+                   output_dir: str, variant: str = "v2",
+                   score_threshold: float = 0.2, batch_size: int = 16,
+                   pnp_cfg: Optional[PnPConfig] = None,
+                   int8: bool = False, mask_rcnn: bool = False,
+                   mesh: Optional[Mesh] = None) -> dict:
+    """Vivo (multi-instance) fleet serving: K objects' detected
+    instances answered by ONE fleet program per batch. The reference
+    serves a multi-object scene (e.g. tless, 30 objects) by running
+    test_vivo.py once per object — K processes, K forwards per image,
+    CPU PnP. Here each object's (image, instance) pairs flatten into a
+    per-object host dataset (eval/vivo.py) and all K advance in
+    lockstep through make_fleet_eval_step; per-object CSVs carry
+    detector scores (failed instances score -1, as evaluate_vivo), plus
+    one merged submission CSV. Objects with no detection above the
+    threshold are skipped with a warning (reported instances=0)."""
+    from zebrapose_tpu.codec.lut import load_correspondence_lut
+    from zebrapose_tpu.data import bop_io
+    from zebrapose_tpu.data import detections as det_mod
+    from zebrapose_tpu.data.bop_writer import (merge_csv,
+                                               parse_sample_ids,
+                                               write_csv)
+    from zebrapose_tpu.data.dataset_info import lookup_obj_id
+    from zebrapose_tpu.eval.runner import load_model_variables
+    from zebrapose_tpu.eval.vivo import build_vivo_dataset
+    from zebrapose_tpu.models.zebra_net import ZebraPoseNet
+
+    if len(ckpt_files) != len(obj_names):
+        raise ValueError("need one checkpoint per object")
+    rgb_files, cam_by_file = bop_io.list_images_with_cameras(
+        cfg.bop_path, cfg.dataset_name, data_folder=cfg.test_folder)
+    dataset_dir = os.path.join(cfg.bop_path, cfg.dataset_name)
+    dets = det_mod.load_detections(cfg.Detection_reaults)
+
+    per_object = {}
+    live = []  # (name, ckpt_file, obj_id, dataset, scores)
+    for name, ck in zip(obj_names, ckpt_files):
+        obj_id = lookup_obj_id(cfg.dataset_name, name)
+        dataset, scores = build_vivo_dataset(
+            dataset_dir, cfg.test_folder, rgb_files, cam_by_file, dets,
+            obj_id, score_threshold,
+            crop_size_img=cfg.BoundingBox_CropSize_image,
+            crop_size_gt=cfg.BoundingBox_CropSize_GT,
+            padding_ratio=cfg.padding_ratio,
+            resize_method=cfg.resize_method,
+            use_segmentation=mask_rcnn)
+        if len(dataset) == 0:
+            print(f"WARNING: {name}: no detection above score "
+                  f"{score_threshold} in the split; skipped from the "
+                  "fleet")
+            per_object[name] = {"instances": 0, "solved": 0,
+                                "solve_rate": 0.0}
+            continue
+        live.append((name, ck, obj_id, dataset, scores))
+    if not live:
+        raise ValueError("no object has any detected instance")
+
+    model = ZebraPoseNet(
+        binary_code_length=cfg.number_of_itration,
+        base=cfg.divide_number_each_itration, variant=variant,
+        resnet_layers=cfg.resnet_layer,
+        concat=cfg.concat_encoder_decoder,
+        output_kernel_size=cfg.output_kernel_size, quant=int8)
+    variables = stack_variables([
+        load_model_variables(ck, model, variant,
+                             cfg.BoundingBox_CropSize_image,
+                             resnet_layers=cfg.resnet_layer,
+                             nonbinary=cfg.divide_number_each_itration
+                             != 2)
+        for _, ck, _, _, _ in live])
+    lp, lv = stack_luts([load_correspondence_lut(os.path.join(
+        dataset_dir, "models_GT_color", f"Class_CorresPoint{oid:06d}.txt"))
+        for _, _, oid, _, _ in live])
+    step = make_fleet_eval_step(
+        lambda b, v: model.apply(v, b["image"], train=False), lp, lv,
+        crop_img=cfg.BoundingBox_CropSize_image,
+        crop_gt=cfg.BoundingBox_CropSize_GT,
+        base=cfg.divide_number_each_itration,
+        n_bits=cfg.number_of_itration,
+        resize_method=cfg.resize_method,
+        loss_type=cfg.BinaryCode_Loss_Type,
+        pnp_cfg=pnp_cfg or PnPConfig(), mask_from_dataset=mask_rcnn,
+        mesh=mesh)
+
+    Rs, ts, ok = fleet_infer([ds for _, _, _, ds, _ in live], step,
+                             variables, batch_size, jax.random.PRNGKey(0))
+
+    os.makedirs(output_dir, exist_ok=True)
+    csvs = []
+    for i, (name, _, obj_id, dataset, scores) in enumerate(live):
+        out_scores = [s if k else -1 for s, k in zip(scores, ok[i])]
+        ids = parse_sample_ids(dataset.rgb_files)
+        csvs.append(write_csv(
+            os.path.join(output_dir, "pose_result_bop"),
+            f"{cfg.dataset_name}_{name}", obj_id,
+            [s for s, _ in ids], [im for _, im in ids],
+            list(Rs[i]), [t.reshape(3, 1) for t in ts[i]], out_scores))
+        per_object[name] = {"instances": len(dataset),
+                            "solved": int(np.sum(ok[i])),
+                            "solve_rate": float(np.mean(ok[i]))}
+    merged = merge_csv(csvs, os.path.join(
+        output_dir, f"{cfg.dataset_name}_vivo_fleet.csv"))
+    return {"per_object": per_object, "merged_csv": merged}
