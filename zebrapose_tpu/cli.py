@@ -285,6 +285,12 @@ def main(argv=None):
     p_sedf.add_argument("--batch_size", type=int, default=16,
                         help="batch for poly_batch blobs (fixed-batch "
                              "blobs dictate their own)")
+    p_sedf.add_argument("--vivo", action="store_true",
+                        help="multi-instance walk (test_vivo semantics: "
+                             "GT-less image walk, all detected "
+                             "instances, score-carrying CSVs)")
+    p_sedf.add_argument("--score_threshold", type=float, default=0.2,
+                        help="--vivo detection score threshold")
 
     p_sed = sub.add_parser(
         "serve-exported",
@@ -299,6 +305,12 @@ def main(argv=None):
     p_sed.add_argument("--batch_size", type=int, default=16,
                        help="batch for poly_batch blobs (fixed-batch "
                             "blobs dictate their own)")
+    p_sed.add_argument("--vivo", action="store_true",
+                       help="multi-instance walk (test_vivo semantics: "
+                            "GT-less image walk, all detected "
+                            "instances, score-carrying CSV)")
+    p_sed.add_argument("--score_threshold", type=float, default=0.2,
+                       help="--vivo detection score threshold")
 
     p_score = sub.add_parser(
         "score-bop",
@@ -464,21 +476,38 @@ def main(argv=None):
         return 0
 
     if args.command == "serve-exported":
-        from zebrapose_tpu.eval.export_serving import run_serve_exported
-        res = run_serve_exported(cfg, args.obj_name, args.blob,
-                                 args.output_dir, seed=args.seed,
-                                 max_samples=args.max_samples,
-                                 batch_size=args.batch_size)
+        if args.vivo:
+            from zebrapose_tpu.eval.export_serving import (
+                run_serve_exported_vivo)
+            res = run_serve_exported_vivo(
+                cfg, args.obj_name, args.blob, args.output_dir,
+                seed=args.seed, score_threshold=args.score_threshold,
+                batch_size=args.batch_size)
+        else:
+            from zebrapose_tpu.eval.export_serving import (
+                run_serve_exported)
+            res = run_serve_exported(cfg, args.obj_name, args.blob,
+                                     args.output_dir, seed=args.seed,
+                                     max_samples=args.max_samples,
+                                     batch_size=args.batch_size)
         print(json.dumps(res))
         return 0
 
     if args.command == "serve-exported-fleet":
-        from zebrapose_tpu.eval.export_serving import (
-            run_serve_exported_fleet)
-        res = run_serve_exported_fleet(
-            cfg, args.obj_names, args.blob, args.output_dir,
-            seed=args.seed, max_samples=args.max_samples,
-            batch_size=args.batch_size)
+        if args.vivo:
+            from zebrapose_tpu.eval.export_serving import (
+                run_serve_exported_vivo_fleet)
+            res = run_serve_exported_vivo_fleet(
+                cfg, args.obj_names, args.blob, args.output_dir,
+                seed=args.seed, score_threshold=args.score_threshold,
+                batch_size=args.batch_size)
+        else:
+            from zebrapose_tpu.eval.export_serving import (
+                run_serve_exported_fleet)
+            res = run_serve_exported_fleet(
+                cfg, args.obj_names, args.blob, args.output_dir,
+                seed=args.seed, max_samples=args.max_samples,
+                batch_size=args.batch_size)
         print(json.dumps(res))
         return 0
 

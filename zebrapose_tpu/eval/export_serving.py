@@ -357,6 +357,121 @@ def run_serve_exported(cfg, obj_name: str, blob_path: str,
             "batch": prog.batch, "platforms": list(prog.platforms)}
 
 
+def _vivo_dataset_for(cfg, obj_name: str, score_threshold: float):
+    """Shared vivo walk for the blob drivers: images from
+    scene_camera.json + the config's detections, flattened to one
+    object's (image, instance) dataset (eval/vivo.py)."""
+    import os
+
+    from zebrapose_tpu.data import bop_io
+    from zebrapose_tpu.data import detections as det_mod
+    from zebrapose_tpu.data.dataset_info import lookup_obj_id
+    from zebrapose_tpu.eval.vivo import build_vivo_dataset
+
+    rgb_files, cam_by_file = bop_io.list_images_with_cameras(
+        cfg.bop_path, cfg.dataset_name, data_folder=cfg.test_folder)
+    dets = det_mod.load_detections(cfg.Detection_reaults)
+    obj_id = lookup_obj_id(cfg.dataset_name, obj_name)
+    dataset, scores = build_vivo_dataset(
+        os.path.join(cfg.bop_path, cfg.dataset_name), cfg.test_folder,
+        rgb_files, cam_by_file, dets, obj_id, score_threshold,
+        crop_size_img=cfg.BoundingBox_CropSize_image,
+        crop_size_gt=cfg.BoundingBox_CropSize_GT,
+        padding_ratio=cfg.padding_ratio,
+        resize_method=cfg.resize_method)
+    return obj_id, dataset, scores
+
+
+def run_serve_exported_vivo(cfg, obj_name: str, blob_path: str,
+                            output_dir: str, seed: int = 0,
+                            score_threshold: float = 0.2,
+                            batch_size: int = 16) -> dict:
+    """Deployment-shaped multi-instance run: walk the split's images
+    from scene_camera.json + detections alone (GT-less, reference
+    test_vivo.py:127-131 semantics) and answer every detected instance
+    of the object from the serving blob. The CSV carries detector
+    scores with failed instances dropped (evaluate_vivo semantics).
+    The blob's baked-in mask head gates the decode — its signature has
+    no dataset-mask input, so the --mask_rcnn variant needs the live
+    `vivo` command."""
+    import os
+
+    from zebrapose_tpu.data.bop_writer import parse_sample_ids, write_csv
+
+    prog = load_serving(blob_path)
+    if getattr(prog, "n_models", 1) != 1:
+        raise ValueError("fleet artifact: use run_serve_exported_vivo_"
+                         "fleet / serve-exported-fleet --vivo")
+    obj_id, dataset, scores = _vivo_dataset_for(cfg, obj_name,
+                                                score_threshold)
+    _check_frame_size(prog, dataset)
+    Rs, ts, ok = serve_dataset(prog, dataset, seed=seed,
+                               batch_size=batch_size)
+
+    os.makedirs(output_dir, exist_ok=True)
+    out_scores = [s if k else -1 for s, k in zip(scores, ok)]
+    ids = parse_sample_ids(dataset.rgb_files)
+    write_csv(os.path.join(output_dir, "pose_result_bop"),
+              f"{cfg.dataset_name}_{obj_name}", obj_id,
+              [s for s, _ in ids], [i for _, i in ids], list(Rs),
+              [t.reshape(3, 1) for t in ts], out_scores)
+    return {"instances": int(len(dataset)), "solved": int(ok.sum()),
+            "batch": prog.batch, "platforms": list(prog.platforms)}
+
+
+def run_serve_exported_vivo_fleet(cfg, obj_names: List[str],
+                                  blob_path: str, output_dir: str,
+                                  seed: int = 0,
+                                  score_threshold: float = 0.2,
+                                  batch_size: int = 16) -> dict:
+    """Multi-instance fleet run from one fleet artifact. The blob bakes
+    exactly n_models models on its model axis, so every object must
+    have at least one detected instance — an empty object cannot be
+    skipped without breaking the axis correspondence (lower the
+    threshold, or use the live `vivo-fleet` which skips empties)."""
+    import os
+
+    from zebrapose_tpu.data.bop_writer import (merge_csv,
+                                               parse_sample_ids,
+                                               write_csv)
+
+    prog = load_serving(blob_path)
+    if prog.n_models != len(obj_names):
+        raise ValueError(f"artifact serves {prog.n_models} models, got "
+                         f"{len(obj_names)} object names")
+    walks = [_vivo_dataset_for(cfg, n, score_threshold)
+             for n in obj_names]
+    for name, (_, ds, _) in zip(obj_names, walks):
+        if len(ds) == 0:
+            raise ValueError(
+                f"object {name}: no detection above score "
+                f"{score_threshold}; a fleet blob cannot skip an object "
+                "(fixed model axis) — lower the threshold or use the "
+                "live vivo-fleet command")
+    _check_frame_size(prog, walks[0][1])
+    Rs, ts, ok = serve_fleet_datasets(prog, [ds for _, ds, _ in walks],
+                                      seed=seed, batch_size=batch_size)
+
+    os.makedirs(output_dir, exist_ok=True)
+    csvs = []
+    per_object = {}
+    for i, (name, (obj_id, dataset, scores)) in enumerate(
+            zip(obj_names, walks)):
+        out_scores = [s if k else -1 for s, k in zip(scores, ok[i])]
+        ids = parse_sample_ids(dataset.rgb_files)
+        csvs.append(write_csv(
+            os.path.join(output_dir, "pose_result_bop"),
+            f"{cfg.dataset_name}_{name}", obj_id,
+            [s for s, _ in ids], [im for _, im in ids], list(Rs[i]),
+            [t.reshape(3, 1) for t in ts[i]], out_scores))
+        per_object[name] = {"instances": int(len(dataset)),
+                            "solved": int(ok[i].sum())}
+    merged = merge_csv(csvs, os.path.join(
+        output_dir, f"{cfg.dataset_name}_vivo_fleet.csv"))
+    return {"per_object": per_object, "batch": prog.batch,
+            "merged_csv": merged}
+
+
 def serve_dataset(fn, dataset, seed: int = 0,
                   batch_size: int = 16) -> Tuple[
         np.ndarray, np.ndarray, np.ndarray]:
