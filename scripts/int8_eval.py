@@ -27,6 +27,16 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/zebra_rehearsal3")
+    ap.add_argument("--run", default=None,
+                    help="run dir holding checkpoints/best (default "
+                         "<root>/run). Point at a --qat fine-tune's out "
+                         "dir to gate a quantization-aware checkpoint.")
+    ap.add_argument("--ckpt", default="best", choices=("best", "last"),
+                    help="which checkpoint of --run to gate: the best-"
+                         "recall one or the latest rolling step (a QAT "
+                         "fine-tune resumed from a copied run keeps the "
+                         "parent's best/ unless it beats it — gate its "
+                         "LAST step)")
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
@@ -69,10 +79,21 @@ def main():
     vertices = mesh["pts"].astype(np.float32)
     diameter = float(val.model_info["1"]["diameter"])
 
-    best_dir = os.path.join(root, "run", "checkpoints", "best")
-    step_dir = [d for d in os.listdir(best_dir) if d.startswith("step_")][0]
-    payload = ocp.StandardCheckpointer().restore(
-        os.path.join(best_dir, step_dir))
+    ckpt_root = os.path.join(args.run or os.path.join(root, "run"),
+                             "checkpoints")
+    if args.ckpt == "best":
+        best_dir = os.path.join(ckpt_root, "best")
+        step_dir = [d for d in os.listdir(best_dir)
+                    if d.startswith("step_")][0]
+        ckpt_path = os.path.join(best_dir, step_dir)
+    else:
+        steps_dir = os.path.join(ckpt_root, "steps")
+        latest = max(int(d) for d in os.listdir(steps_dir) if d.isdigit())
+        ckpt_path = os.path.join(steps_dir, str(latest), "default")
+        if not os.path.isdir(ckpt_path):   # orbax layout w/o item name
+            ckpt_path = os.path.join(steps_dir, str(latest))
+        print(f"gating LAST checkpoint: step {latest}", flush=True)
+    payload = ocp.StandardCheckpointer().restore(ckpt_path)
     variables = jax.tree.map(jnp.asarray, {
         "params": payload["params"],
         "batch_stats": payload["batch_stats"]})

@@ -172,6 +172,13 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="restore the latest checkpoint in --out and "
                          "continue for --steps more steps")
+    ap.add_argument("--qat", action="store_true",
+                    help="quantization-aware fine-tune: convs run the "
+                         "differentiable int8 simulation (CLI --qat "
+                         "equivalent). Typical use: copy a trained run "
+                         "dir, then --resume --qat for a few hundred "
+                         "steps; serve the result with --int8 "
+                         "(scripts/int8_eval.py --run <out>)")
     args = ap.parse_args()
 
     import jax
@@ -209,6 +216,7 @@ def main():
     res = build_train_setup(cfg, "ape", args.out,
                             pretrained_backbone=None,  # no .pth in env
                             bf16=True,
+                            qat=args.qat,
                             cache_images=True,   # val collate from RAM
                             device_cache=True)   # train pixels in HBM:
     # indices-only input removes the 75 MB/step H2D stream — the axon

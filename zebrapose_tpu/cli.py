@@ -56,6 +56,13 @@ def main(argv=None):
     p_train.add_argument("--bf16", action="store_true",
                          help="bf16 compute in the model (params stay "
                               "f32; losses computed in f32)")
+    p_train.add_argument("--qat", action="store_true",
+                         help="quantization-aware training: convs run "
+                              "the differentiable int8 simulation (STE) "
+                              "so the checkpoint can be served with "
+                              "--int8 at full accuracy; typically a "
+                              "short fine-tune from an existing "
+                              "checkpoint (load_checkpoint in the cfg)")
     p_train.add_argument("--multihost", action="store_true",
                          help="jax.distributed.initialize() for DCN "
                               "multi-host training")
@@ -414,7 +421,8 @@ def main(argv=None):
             bf16=args.bf16, gamma=args.gamma, log_freq=args.log_freq,
             cache_images=args.cache_images,
             device_cache=(args.input_mode == "device_cache"),
-            device_prefetch=(args.input_mode == "prefetch"))
+            device_prefetch=(args.input_mode == "prefetch"),
+            qat=args.qat)
         with profile_trace(args.profile):
             best = fit(res, log_freq=args.log_freq,
                        max_steps=args.max_steps, val_mode=args.val_mode)

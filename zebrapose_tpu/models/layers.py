@@ -67,12 +67,80 @@ class _Int8Conv(nn.Module):
         return y.astype(self.dtype)
 
 
+def _ste_round(x: jnp.ndarray) -> jnp.ndarray:
+    """round() whose gradient is the identity (straight-through
+    estimator): forward = round(x), backward = 1. The standard QAT
+    trick — round() itself has zero gradient almost everywhere, which
+    would stop all learning through a quantizer."""
+    return x + jax.lax.stop_gradient(jnp.round(x) - x)
+
+
+class _FakeQuantConv(nn.Module):
+    """Differentiable twin of _Int8Conv for quantization-aware training.
+
+    Forward simulates the serving-mode int8 path — the SAME per-channel
+    symmetric weight scales, per-tensor dynamic activation scale, and
+    round/clip order — but keeps everything in float so gradients flow:
+    rounding uses the straight-through estimator, the scales are
+    stop_gradient'ed (amax is not a useful gradient path), and the clip
+    saturates (zero gradient outside [-127, 127], so activations learn
+    to stay in range). The conv runs on INTEGER-VALUED float arrays and
+    rescales once afterwards, exactly like _Int8Conv's int32-accumulate
+    -then-dequantize — integers <= 127 are exact even in a bf16 MXU
+    pass, so the QAT forward tracks the deployed int8 forward to f32
+    accumulation error (~1e-7 relative), not to bf16 error.
+
+    Parameter tree identical to nn.Conv/_Int8Conv: a checkpoint
+    fine-tuned with this module loads unchanged into the int8 serving
+    model (ZebraPoseNet(quant=True)).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = ((0, 0), (0, 0))
+    kernel_dilation: Tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features), jnp.float32)
+        w = kernel.astype(jnp.float32)
+        sw = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)),
+                        1e-8) / 127.0)                        # [out]
+        wq = _ste_round(w / sw)            # integer-valued, grads pass
+        xf = x.astype(jnp.float32)
+        sx = jax.lax.stop_gradient(
+            jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0)
+        # round-then-clip mirrors _Int8Conv; clip STE saturates.
+        xq = jnp.clip(_ste_round(xf / sx), -127, 127)
+        y = jax.lax.conv_general_dilated(
+            xq, wq, window_strides=self.strides, padding=self.padding,
+            rhs_dilation=self.kernel_dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y * (sx * sw)                  # sw broadcasts over C
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+            y = y + b
+        return y.astype(self.dtype)
+
+
 class TorchConv(nn.Module):
     """nn.Conv2d equivalent: explicit symmetric padding, HWIO kernel.
 
-    quant=True swaps the conv for the int8 MXU path (_Int8Conv) with an
-    identical parameter tree — an inference-time serving mode, toggled
-    per-model via ZebraPoseNet(quant=True)."""
+    quant selects the conv implementation, all with identical parameter
+    trees so the same checkpoint loads into any of them:
+      False  — plain nn.Conv (training / full-precision serving);
+      True   — _Int8Conv, the int8 MXU serving path;
+      "qat"  — _FakeQuantConv, the differentiable int8 simulation for
+               quantization-aware (fine-)tuning (train --qat).
+    Toggled per-model via ZebraPoseNet(quant=...)."""
 
     features: int
     kernel_size: int = 3
@@ -81,18 +149,21 @@ class TorchConv(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     dtype: Any = jnp.float32
-    quant: bool = False
+    quant: Any = False          # False | True (int8 serve) | "qat"
     # int8 only pays off on MXU-bound convs; small convs (stem 3->64,
     # layer1 64x64, 1-channel heads) measured no speedup on v5e AND are
     # the accuracy-sensitive ones (first-layer input range, tiny-channel
     # quantization noise). Quantize only when Cin*Cout clears this bar.
+    # The same gate applies to "qat" so training simulates exactly the
+    # convs that will be quantized at serving time.
     quant_min_cinxcout: int = 16384
 
     @nn.compact
     def __call__(self, x):
         if self.quant and x.shape[-1] * self.features >= \
                 self.quant_min_cinxcout:
-            return _Int8Conv(
+            impl = _FakeQuantConv if self.quant == "qat" else _Int8Conv
+            return impl(
                 features=self.features,
                 kernel_size=(self.kernel_size, self.kernel_size),
                 strides=(self.stride, self.stride),

@@ -41,10 +41,15 @@ class ZebraPoseNet(nn.Module):
     concat: bool = True
     output_kernel_size: int = 1
     dtype: Any = jnp.float32
-    # int8 serving mode: conv compute on the TPU int8 MXU path with an
-    # unchanged parameter tree (see layers._Int8Conv); head convs and
-    # transposed convs stay full-precision. Inference-only.
-    quant: bool = False
+    # int8 modes, all with an unchanged parameter tree; head convs and
+    # transposed convs stay full-precision:
+    #   True  — serving: conv compute on the TPU int8 MXU path
+    #           (layers._Int8Conv, inference-only);
+    #   "qat" — quantization-aware training: the differentiable int8
+    #           simulation (layers._FakeQuantConv, STE rounding) so a
+    #           checkpoint can be fine-tuned to tolerate quantization
+    #           before being served with quant=True.
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False

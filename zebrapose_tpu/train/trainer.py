@@ -326,7 +326,8 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
                       log_freq: int = 1000,
                       cache_images: bool = False,
                       device_cache: bool = False,
-                      device_prefetch: bool = False) -> TrainResources:
+                      device_prefetch: bool = False,
+                      qat: bool = False) -> TrainResources:
     """Assemble TrainResources from a real BOP tree (train_v2.py:40-223).
 
     pretrained_backbone: path to a torchvision resnet34 .pth, "auto"
@@ -343,6 +344,13 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
     device_prefetch: for splits too big for device_cache, overlap the
     raw-frame H2D copy with compute by sharding each batch one step
     ahead in a background thread (DevicePrefetchIterator).
+    qat: quantization-aware training — convs above the int8 size bar
+    run the differentiable int8 simulation (layers._FakeQuantConv, STE
+    rounding) so the resulting checkpoint serves with quant=True/--int8
+    without the post-training quantization accuracy drop. Validation
+    inside fit() then also measures the quantized forward. The param
+    tree is unchanged: start from a normally-trained checkpoint via
+    cfg.load_checkpoint and fine-tune briefly.
     """
     from zebrapose_tpu.data import bop_io
     from zebrapose_tpu.data.dataset_info import is_symmetric, lookup_obj_id
@@ -408,7 +416,8 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
         resnet_layers=cfg.resnet_layer,
         concat=cfg.concat_encoder_decoder,
         output_kernel_size=cfg.output_kernel_size,
-        dtype=jnp.bfloat16 if bf16 else jnp.float32)
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        quant="qat" if qat else False)
     variables = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, cfg.BoundingBox_CropSize_image,
