@@ -657,9 +657,15 @@ def _correspondences(mask, code, lut_points, lut_valid, bbox,
 
     h, w_img = mask.shape
     ids = code_to_class_id(code, base=base)          # [H,W]
-    pts3d = lut_points[ids.reshape(-1)]              # [H*W, 3]
-    valid3d = lut_valid[ids.reshape(-1)]
-    fg = mask.reshape(-1) * valid3d.astype(mask.dtype)
+    # ONE packed gather for xyz+validity: TPU gathers move full 128-lane
+    # rows whatever the minor dim, so two separate [C,3]/[C] lookups
+    # cost two H*W-row sweeps; a [C,4] table costs one (validity in
+    # {0,1} is exact in f32).
+    packed = jnp.concatenate(
+        [lut_points, lut_valid.astype(lut_points.dtype)[:, None]], axis=1)
+    g = packed[ids.reshape(-1)]                      # [H*W, 4]
+    pts3d = g[:, :3]
+    fg = mask.reshape(-1) * g[:, 3].astype(mask.dtype)
 
     pix = jnp.arange(h * w_img, dtype=jnp.int32)
     px = jnp.stack([pix % w_img, pix // w_img], axis=-1)   # (x, y)
