@@ -327,9 +327,10 @@ def main():
         "int8_serving": {
             "crops_per_sec": round(int8_result, 1) if int8_result else None,
             "note": ("same full pipeline with conv compute on the int8 "
-                     "MXU path (CLI --int8); accuracy gate: ADD recall "
-                     "0.717 vs 0.733 bf16 on the trained rehearsal "
-                     "checkpoint (scripts/int8_eval.py, PERF.md)")},
+                     "MXU path (CLI --int8); accuracy gate: after a "
+                     "500-step --qat fine-tune int8 ADD recall matches "
+                     "bf16 exactly (0.7417, was 0.717 vs 0.733 pre-QAT; "
+                     "scripts/int8_eval.py, PERF.md)")},
         "trained_mask": _trained_mask_section(),
     }))
 
