@@ -317,11 +317,13 @@ def main():
                           "cannot run here)"),
         "batch": best_b,
         "serving_stream": {
-            "crops_per_sec": 33.8,
-            "note": ("pipelined host-decode serving walk, measured "
-                     "2026-08-17 by scripts/serving_bench.py on this "
-                     "chip; tunnel-H2D-bound (29.5 MB/b32 raw frames "
-                     "at ~40 MB/s) — see PERF.md serving section")},
+            "crops_per_sec": 57.9,
+            "note": ("pipelined host-decode serving walk with "
+                     "--roi_slice (host ships only the clamped bbox "
+                     "bytes; bit-exact crops), measured 2026-08-18 by "
+                     "scripts/serving_bench.py on this chip; 2.3x the "
+                     "same-day full-frame walk (25.2), which is "
+                     "tunnel-H2D-bound — see PERF.md serving section")},
         "per_batch": {str(b): {k: round(v, 1) for k, v in r.items()}
                       for b, r in results.items()},
         "int8_serving": {

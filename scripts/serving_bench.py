@@ -48,7 +48,8 @@ def build_tree(root: str, n_images: int, rng) -> None:
         json.dump(dets, f)
 
 
-def measure(root: str, n_images: int, batch_size: int = 32):
+def measure(root: str, n_images: int, batch_size: int = 32,
+            roi_slice: bool = False):
     import jax
 
     from zebrapose_tpu.data import bop_io, detections as det_mod
@@ -63,7 +64,8 @@ def measure(root: str, n_images: int, batch_size: int = 32):
     dets = det_mod.load_detections(os.path.join(root, "det.json"))
     dataset, _scores = build_vivo_dataset(
         os.path.join(root, "lmo"), "test", rgb_files, cam_by_file,
-        dets, obj_id=1, crop_size_img=256, crop_size_gt=128)
+        dets, obj_id=1, crop_size_img=256, crop_size_gt=128,
+        roi_slice=roi_slice)
     assert len(dataset) == n_images
 
     rng = np.random.default_rng(0)
@@ -98,21 +100,26 @@ def measure(root: str, n_images: int, batch_size: int = 32):
         times.append(time.perf_counter() - t0)
     # run 0 pays jit compile; steady state = best of the warm runs
     warm = min(times[1:])
+    h2d = dataset.collate(idx)["rgb"]
     return {
         "serving_crops_per_sec": round(n_images / warm, 1),
         "cold_crops_per_sec": round(n_images / times[1], 1),
         "host_collate_ms_per_batch": round(collate_ms, 1),
+        "h2d_rgb_mb_per_batch": round(h2d.nbytes / 2 ** 20, 1),
+        "roi_slice": roi_slice,
         "batch": batch_size,
         "n_images": n_images,
     }
 
 
 def main():
-    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    argv = [a for a in sys.argv[1:] if a != "--roi_slice"]
+    roi_slice = "--roi_slice" in sys.argv[1:]
+    n_images = int(argv[0]) if argv else 96
     rng = np.random.default_rng(7)
     with tempfile.TemporaryDirectory() as root:
         build_tree(root, n_images, rng)
-        out = measure(root, n_images)
+        out = measure(root, n_images, roi_slice=roi_slice)
     print(json.dumps(out))
 
 

@@ -117,6 +117,10 @@ def main(argv=None):
     p_test.add_argument("--int8", action="store_true",
                         help="conv compute on the TPU int8 MXU path "
                              "(serving mode; same checkpoint)")
+    p_test.add_argument("--roi_slice", action="store_true",
+                        help="ship only each frame's clamped square-bbox "
+                             "bytes to the device (bit-exact crops, 2-3x "
+                             "less host->device traffic)")
     p_test.add_argument("--profile", default=None,
                         help="write a JAX profiler trace to this dir")
 
@@ -172,6 +176,10 @@ def main(argv=None):
     p_vivo.add_argument("--mask_rcnn", action="store_true",
                         help="use detector RLE segmentations "
                              "(test_vivo_for_mask_rcnn.py)")
+    p_vivo.add_argument("--roi_slice", action="store_true",
+                        help="ship only each frame's clamped square-bbox "
+                             "bytes to the device (bit-exact crops, 2-3x "
+                             "less host->device traffic)")
 
     p_mesh = sub.add_parser("generate-mesh-code",
                             help="hierarchical surface encoding of a mesh")
@@ -652,7 +660,7 @@ def main(argv=None):
                         debug=args.debug, batch_size=args.batch_size,
                         max_samples=args.max_samples,
                         mask_rcnn=args.mask_rcnn,
-                        int8=args.int8)
+                        int8=args.int8, roi_slice=args.roi_slice)
             else:
                 from zebrapose_tpu.eval.runner_vivo import run_vivo
                 metrics = run_vivo(
@@ -660,7 +668,8 @@ def main(argv=None):
                     variant=args.variant,
                     score_threshold=args.score_threshold,
                     batch_size=args.batch_size,
-                    mask_rcnn=args.mask_rcnn, int8=args.int8)
+                    mask_rcnn=args.mask_rcnn, int8=args.int8,
+                    roi_slice=args.roi_slice)
             print(json.dumps(metrics, indent=2))
         return 0
 

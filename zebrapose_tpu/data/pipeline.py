@@ -149,7 +149,8 @@ class CropDatasetHost:
                  detect_bboxes: Optional[Sequence] = None,
                  detect_segmentations: Optional[Sequence] = None,
                  seed: int = 0,
-                 cache_images: bool = False):
+                 cache_images: bool = False,
+                 roi_slice: bool = False):
         self.dataset_dir = dataset_dir
         self.data_folder = data_folder
         self.rgb_files = list(rgb_files)
@@ -174,6 +175,25 @@ class CropDatasetHost:
         # per 480x640 sample (rgb + label + 2 masks).
         self._cache: Optional[dict] = {} if cache_images else None
         self._cache_lock = threading.Lock()
+        # Opt-in serving mode: ship only the ROI bytes to the device.
+        # The host slices each frame's clamped square-bbox region into a
+        # dataset-wide zero-padded buffer (pure byte copy + integer bbox
+        # math — still no host pixel arithmetic) and shifts roi_param by
+        # the slice origin. extract_roi_square's zero-read/validity
+        # semantics make the resampled crop BIT-IDENTICAL to the
+        # full-frame path (tests/test_roi_slice.py), while H2D traffic
+        # drops from the full frame to ~the padded bbox (2-3x on 480x640
+        # BOP scenes — the bottleneck of tunnel/low-bandwidth serving,
+        # scripts/serving_bench.py).
+        if roi_slice:
+            if is_train:
+                raise ValueError("roi_slice is a serving mode "
+                                 "(is_train=False only)")
+            if resize_method != "crop_square_resize":
+                raise NotImplementedError(
+                    "roi_slice supports crop_square_resize only")
+        self.roi_slice = roi_slice
+        self._slice_hw: Optional[tuple] = None
 
     def __len__(self):
         return len(self.rgb_files)
@@ -249,6 +269,24 @@ class CropDatasetHost:
         return {"rgb": rgb, "label": label, "mask": mask,
                 "entire_mask": entire}
 
+    def _eval_bbox(self, idx: int):
+        """Deterministic test-time bbox (detection or GT) + padding.
+        Factored out so the roi_slice buffer scan applies the exact
+        bbox semantics get_params does."""
+        valid = 1.0
+        if self.detect_bboxes is not None:
+            det = self.detect_bboxes[idx]
+            if det is None:
+                det = np.array([0, 0, 1, 1])
+                valid = 0.0
+            bbox = np.asarray(det)
+        else:
+            bbox = np.asarray(self.gt_infos[idx]["bbox_visib"])
+        if np.all(np.isclose(bbox, -1)):
+            bbox = np.array([0, 0, 1, 1])
+            valid = 0.0
+        return padding_bbox(bbox, self.padding_ratio), valid
+
     def get_params(self, idx: int,
                    im_shape: tuple) -> Dict[str, np.ndarray]:
         """Per-draw bookkeeping: pose/K plus the (train: freshly
@@ -263,8 +301,8 @@ class CropDatasetHost:
         K = np.asarray(self.cam_params[idx]["cam_K"],
                        np.float64).reshape(3, 3)
 
-        valid = 1.0
         if self.is_train:
+            valid = 1.0
             bbox = np.asarray(self.gt_infos[idx]["bbox_visib"])
             # per-sample generator: get_raw runs on a thread pool and
             # numpy Generators are not thread-safe
@@ -273,28 +311,73 @@ class CropDatasetHost:
             bbox = augment_bbox(bbox, self.padding_ratio,
                                 np.random.default_rng(sample_seed))
         else:
-            if self.detect_bboxes is not None:
-                det = self.detect_bboxes[idx]
-                if det is None:
-                    det = np.array([0, 0, 1, 1])
-                    valid = 0.0
-                bbox = np.asarray(det)
-            else:
-                bbox = np.asarray(self.gt_infos[idx]["bbox_visib"])
-            if np.all(np.isclose(bbox, -1)):
-                bbox = np.array([0, 0, 1, 1])
-                valid = 0.0
-            bbox = padding_bbox(bbox, self.padding_ratio)
+            bbox, valid = self._eval_bbox(idx)
 
         param, fb = self._roi_param(bbox, im_shape)
         return {"roi_param": param, "final_bbox": fb,
                 "R": R.astype(np.float32), "t": t.astype(np.float32),
                 "K": K.astype(np.float32), "valid": np.float32(valid)}
 
+    def _slice_buffer_hw(self, im_h: int, im_w: int):
+        """Dataset-wide static buffer dims for roi_slice: the max padded
+        square side over every sample's deterministic eval bbox, rounded
+        up to a multiple of 16 and capped at the frame dims (one shape
+        -> one compiled executable per run). Cached; frames of differing
+        sizes within one dataset are rejected (would need per-shape
+        executables)."""
+        if self._slice_hw is not None:
+            hw, cap = self._slice_hw
+            if cap != (im_h, im_w):
+                raise ValueError(
+                    f"roi_slice: mixed frame sizes in one dataset "
+                    f"({cap} vs {(im_h, im_w)})")
+            return hw
+        max_side = 1
+        for i in range(len(self)):
+            bbox, _ = self._eval_bbox(i)
+            max_side = max(max_side, int(square_bbox(bbox)[4]))
+        side = -(-max_side // 16) * 16
+        hw = (min(side, im_h), min(side, im_w))
+        self._slice_hw = (hw, (im_h, im_w))
+        return hw
+
+    def _slice_roi(self, out: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Byte-slice the clamped square-bbox region of every pixel
+        array into the zero-padded dataset buffer and shift roi_param by
+        the slice origin. Bit-exact vs the full-frame resample: inside
+        extract_roi_square, real pixels keep identical tap coordinates
+        relative to the shifted param, and every out-of-slice tap either
+        reads buffer zeros or is killed by the validity gate — both
+        equal the full-frame path's read-as-zero semantics."""
+        im_h, im_w = out["rgb"].shape[:2]
+        bh, bw = self._slice_buffer_hw(im_h, im_w)
+        p = out["roi_param"]
+        x1, y1, x2, y2 = int(p[0]), int(p[1]), int(p[2]), int(p[3])
+        xs, ys = max(x1, 0), max(y1, 0)
+        xe, ye = max(min(x2, im_w), xs), max(min(y2, im_h), ys)
+        # a clamped extent can still exceed the buffer only when the
+        # square outgrew the frame; the buffer is capped at frame dims,
+        # so re-clamp the copy extent (the tail reads as zero — same as
+        # the full-frame validity gate for those taps)
+        ye, xe = min(ye, ys + bh), min(xe, xs + bw)
+        for k in ("rgb", "label"):
+            buf = np.zeros((bh, bw) + out[k].shape[2:], out[k].dtype)
+            buf[:ye - ys, :xe - xs] = out[k][ys:ye, xs:xe]
+            out[k] = buf
+        for k in ("mask", "entire_mask"):
+            buf = np.zeros((bh, bw), out[k].dtype)
+            buf[:ye - ys, :xe - xs] = out[k][ys:ye, xs:xe]
+            out[k] = buf
+        out["roi_param"] = p - np.array([xs, ys, xs, ys, 0],
+                                        p.dtype)
+        return out
+
     def get_raw(self, idx: int) -> Dict[str, np.ndarray]:
         px = self.get_pixels(idx)
         out = dict(px)
         out.update(self.get_params(idx, px["rgb"].shape))
+        if self.roi_slice:
+            out = self._slice_roi(out)
         return out
 
     def collate(self, indices: Sequence[int],

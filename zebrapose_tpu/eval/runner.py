@@ -141,7 +141,8 @@ def prepare_object_eval(cfg: ZebraConfig, obj_name: str,
                         gt_dir_suffix: str = "_GT_v2",
                         max_samples: Optional[int] = None,
                         mask_rcnn: bool = False,
-                        samples=None) -> ObjectEval:
+                        samples=None,
+                        roi_slice: bool = False) -> ObjectEval:
     """Assemble one object's eval inputs: BOP walk (+BOP-challenge
     targets), detection ingestion (+ycbv keyframes), dataset, LUT, mesh
     geometry (test.py:85-240 setup).
@@ -192,7 +193,7 @@ def prepare_object_eval(cfg: ZebraConfig, obj_name: str,
         crop_size_gt=cfg.BoundingBox_CropSize_GT,
         padding_ratio=cfg.padding_ratio, resize_method=cfg.resize_method,
         gt_dir_suffix=gt_dir_suffix, detect_bboxes=det_bboxes,
-        detect_segmentations=det_segs)
+        detect_segmentations=det_segs, roi_slice=roi_slice)
 
     lut = load_correspondence_lut(os.path.join(
         cfg.bop_path, cfg.dataset_name, "models_GT_color",
@@ -212,16 +213,20 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
              gt_dir_suffix: str = "_GT_v2",
              max_samples: Optional[int] = None,
              mask_rcnn: bool = False,
-             int8: bool = False) -> Dict[str, float]:
+             int8: bool = False,
+             roi_slice: bool = False) -> Dict[str, float]:
     """Single-instance evaluation of one object (test.py main).
 
     mask_rcnn: use the detector's RLE segmentation in place of the
     network's mask head (reference test_for_mask_rcnn.py).
     int8: run conv compute on the TPU int8 MXU path (serving mode; same
     checkpoint, per-channel weight / dynamic activation quantization —
-    models/layers._Int8Conv)."""
+    models/layers._Int8Conv).
+    roi_slice: host ships only the clamped square-bbox bytes per frame
+    (bit-exact crops, 2-3x less H2D — CropDatasetHost.roi_slice)."""
     oe = prepare_object_eval(cfg, obj_name, gt_dir_suffix=gt_dir_suffix,
-                             max_samples=max_samples, mask_rcnn=mask_rcnn)
+                             max_samples=max_samples, mask_rcnn=mask_rcnn,
+                             roi_slice=roi_slice)
     obj_id, dataset, scores = oe.obj_id, oe.dataset, oe.scores
     lut, mesh, samples = oe.lut, oe.mesh, oe.samples
     vertices, diameter = oe.vertices, oe.diameter

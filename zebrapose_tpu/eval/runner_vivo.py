@@ -23,7 +23,8 @@ def run_vivo(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
              score_threshold: float = 0.2, batch_size: int = 16,
              pnp_cfg: Optional[PnPConfig] = None,
              mask_rcnn: bool = False,
-             int8: bool = False) -> Dict[str, float]:
+             int8: bool = False,
+             roi_slice: bool = False) -> Dict[str, float]:
     obj_id = lookup_obj_id(cfg.dataset_name, obj_name)
 
     # Vivo iterates IMAGES (not GT instances): build the image list from
@@ -42,7 +43,7 @@ def run_vivo(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
         crop_size_gt=cfg.BoundingBox_CropSize_GT,
         padding_ratio=cfg.padding_ratio,
         resize_method=cfg.resize_method,
-        use_segmentation=mask_rcnn)
+        use_segmentation=mask_rcnn, roi_slice=roi_slice)
 
     lut = load_correspondence_lut(os.path.join(
         cfg.bop_path, cfg.dataset_name, "models_GT_color",

@@ -29,7 +29,8 @@ def build_vivo_dataset(dataset_dir: str, data_folder: str,
                        crop_size_img: int = 256, crop_size_gt: int = 128,
                        padding_ratio: float = 1.5,
                        resize_method: str = "crop_square_resize",
-                       use_segmentation: bool = False
+                       use_segmentation: bool = False,
+                       roi_slice: bool = False
                        ) -> Tuple[CropDatasetHost, List[float]]:
     """Flatten per-image detection lists into a per-instance dataset.
 
@@ -57,7 +58,8 @@ def build_vivo_dataset(dataset_dir: str, data_folder: str,
         is_train=False, crop_size_img=crop_size_img,
         crop_size_gt=crop_size_gt, padding_ratio=padding_ratio,
         resize_method=resize_method, detect_bboxes=bboxes,
-        detect_segmentations=segs if use_segmentation else None)
+        detect_segmentations=segs if use_segmentation else None,
+        roi_slice=roi_slice)
     return dataset, scores
 
 
