@@ -244,6 +244,47 @@ class _StubDataset:
         return out
 
 
+def test_roi_slice_blob_matches_live_full_frame(setup, tmp_path):
+    """A blob exported with roi_slice metadata at the walk's buffer
+    dims, served through _check_frame_size (which flips the dataset
+    into slice mode), must reproduce the live full-frame program's
+    poses bit-for-bit — the slice is exact and the blob adds nothing."""
+    from test_roi_slice import BBOXES, _write_scene
+    from zebrapose_tpu.data.pipeline import CropDatasetHost
+    from zebrapose_tpu.eval.evaluate import run_inference
+    from zebrapose_tpu.eval.export_serving import _check_frame_size
+
+    model, variables, lut, serve = setup
+    tree = _write_scene(tmp_path, len(BBOXES))
+    ds_dir, rgb, mask, maskv, gts, gtis, cams = tree
+
+    def _mk():
+        return CropDatasetHost(ds_dir, "test", rgb, mask, maskv, gts,
+                               gtis, cams, is_train=False,
+                               crop_size_img=128, crop_size_gt=64,
+                               detect_bboxes=list(BBOXES))
+
+    step = make_eval_step(
+        lambda b, v: model.apply(v, b["image"], train=False), lut,
+        crop_img=128, crop_gt=64, base=2, n_bits=N_BITS,
+        resize_method="crop_square_resize", loss_type="BCE",
+        pnp_cfg=PNP, preprocess_gt=False)
+    live = run_inference(_mk(), step, batch_size=2, seed=3,
+                         variables=variables)
+
+    sliced = _mk()
+    hw = sliced.natural_slice_hw()
+    blob = export_serving(serve, batch=2, image_hw=hw,
+                          meta={"roi_slice": True})
+    prog = load_serving(blob)
+    assert prog.meta["roi_slice"] is True
+    _check_frame_size(prog, sliced)          # flips + imposes hw
+    assert sliced.roi_slice and sliced.get_raw(0)["rgb"].shape[:2] == hw
+    got = serve_dataset(prog, sliced, seed=3)
+    for a, b in zip(live, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_serve_dataset_pads_tail(setup, tmp_path):
     _, _, _, serve = setup
     blob = export_serving(serve, batch=2, image_hw=(H, W))

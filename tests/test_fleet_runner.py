@@ -118,3 +118,13 @@ def test_run_test_fleet(fleet_tree, tmp_path):
     # checkpoint count mismatch is loud
     with pytest.raises(ValueError, match="one checkpoint per object"):
         run_test_fleet(cfg, ["ape", "cat"], ckpts[:1], out_dir)
+
+    # roi_slice (fleet-wide shared buffer) must reproduce the poses
+    # bit-for-bit: same CSV bytes
+    out2 = str(tmp_path / "out_rslice")
+    res2 = run_test_fleet(
+        cfg, ["ape", "cat"], ckpts, out2, batch_size=2,
+        pnp_cfg=PnPConfig(n_hypotheses=16, max_points=256),
+        roi_slice=True)
+    assert open(res2["merged_csv"]).read() == \
+        open(res["merged_csv"]).read()

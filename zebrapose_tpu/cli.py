@@ -143,6 +143,10 @@ def main(argv=None):
                       help="use each object's detector RLE segmentation "
                            "instead of its mask head "
                            "(test_for_mask_rcnn.py)")
+    p_tf.add_argument("--roi_slice", action="store_true",
+                      help="ship only each frame's clamped square-bbox "
+                           "bytes (fleet-wide shared buffer; bit-exact "
+                           "crops, less host->device traffic)")
 
     p_vf = sub.add_parser(
         "vivo-fleet",
@@ -162,6 +166,10 @@ def main(argv=None):
     p_vf.add_argument("--mask_rcnn", action="store_true",
                       help="use detector RLE segmentations "
                            "(test_vivo_for_mask_rcnn.py)")
+    p_vf.add_argument("--roi_slice", action="store_true",
+                      help="ship only each frame's clamped square-bbox "
+                           "bytes (fleet-wide shared buffer; bit-exact "
+                           "crops, less host->device traffic)")
 
     p_vivo = sub.add_parser("vivo",
                             help="multi-instance eval (test_vivo)")
@@ -262,6 +270,12 @@ def main(argv=None):
                             "when exporting from a cpu-default process), "
                             "on = force the Pallas TPU kernel into the "
                             "blob, off = force the jnp path")
+    p_srv.add_argument("--roi_slice", action="store_true",
+                       help="export for ROI-sliced input buffers: frame "
+                            "dims are computed from the configured test "
+                            "walk's max padded bbox (overrides "
+                            "--image_h/--image_w) and serve-exported "
+                            "ships only the bbox bytes per frame")
 
     p_srvf = sub.add_parser(
         "export-serving-fleet",
@@ -286,6 +300,10 @@ def main(argv=None):
                         help="bake f32 model compute (default bf16)")
     p_srvf.add_argument("--pallas", default="auto",
                         choices=["auto", "on", "off"])
+    p_srvf.add_argument("--roi_slice", action="store_true",
+                        help="export for ROI-sliced input buffers (the "
+                             "fleet-wide max over the K walks overrides "
+                             "--image_h/--image_w)")
 
     p_sedf = sub.add_parser(
         "serve-exported-fleet",
@@ -476,18 +494,25 @@ def main(argv=None):
             ignore_bits=args.ignore_bit,
             use_kernel={"auto": None, "on": True,
                         "off": False}[args.pallas])
-        blob = export_serving(serve, args.batch or None,
-                              (args.image_h, args.image_w),
+        image_hw = (args.image_h, args.image_w)
+        if args.roi_slice:
+            from zebrapose_tpu.eval.runner import prepare_object_eval
+            oe = prepare_object_eval(cfg, args.obj_name, roi_slice=True)
+            image_hw = oe.dataset.natural_slice_hw()
+            print(f"roi_slice buffer from the walk: {image_hw}")
+        blob = export_serving(serve, args.batch or None, image_hw,
                               platforms=args.platforms,
                               meta={"obj_name": args.obj_name,
                                     "dataset": cfg.dataset_name,
-                                    "int8": args.int8})
+                                    "int8": args.int8,
+                                    "roi_slice": args.roi_slice})
         with open(args.out, "wb") as f:
             f.write(blob)
         print(json.dumps({
             "out": args.out, "bytes": len(blob),
             "batch": args.batch or "symbolic",
-            "image_hw": [args.image_h, args.image_w],
+            "image_hw": list(image_hw),
+            "roi_slice": args.roi_slice,
             "platforms": args.platforms or ["<current backend>"]}))
         return 0
 
@@ -570,18 +595,29 @@ def main(argv=None):
                               max_points=args.max_points),
             use_kernel={"auto": None, "on": True,
                         "off": False}[args.pallas])
+        image_hw = (args.image_h, args.image_w)
+        if args.roi_slice:
+            from zebrapose_tpu.eval.runner import prepare_object_eval
+            naturals = [prepare_object_eval(cfg, n, roi_slice=True)
+                        .dataset.natural_slice_hw()
+                        for n in args.obj_names]
+            image_hw = (max(h for h, _ in naturals),
+                        max(w for _, w in naturals))
+            print(f"roi_slice buffer from the K walks: {image_hw}")
         blob = export_serving(
-            serve, args.batch or None, (args.image_h, args.image_w),
+            serve, args.batch or None, image_hw,
             platforms=args.platforms, n_models=len(args.obj_names),
             meta={"obj_names": args.obj_names,
-                  "dataset": cfg.dataset_name})
+                  "dataset": cfg.dataset_name,
+                  "roi_slice": args.roi_slice})
         with open(args.out, "wb") as f:
             f.write(blob)
         print(json.dumps({
             "out": args.out, "bytes": len(blob),
             "n_models": len(args.obj_names),
             "batch": args.batch or "symbolic",
-            "image_hw": [args.image_h, args.image_w]}))
+            "roi_slice": args.roi_slice,
+            "image_hw": list(image_hw)}))
         return 0
 
     if args.command == "train-fleet":
@@ -614,7 +650,7 @@ def main(argv=None):
                 variant=args.variant,
                 score_threshold=args.score_threshold,
                 batch_size=args.batch_size, int8=args.int8,
-                mask_rcnn=args.mask_rcnn)
+                mask_rcnn=args.mask_rcnn, roi_slice=args.roi_slice)
             print(json.dumps(res, indent=2))
         return 0
 
@@ -632,7 +668,7 @@ def main(argv=None):
                 cfg, args.obj_names, args.ckpt_files, run_dir,
                 variant=args.variant, batch_size=args.batch_size,
                 int8=args.int8, max_samples=args.max_samples,
-                mask_rcnn=args.mask_rcnn)
+                mask_rcnn=args.mask_rcnn, roi_slice=args.roi_slice)
             print(json.dumps(res, indent=2))
         return 0
 

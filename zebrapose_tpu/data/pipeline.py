@@ -185,15 +185,11 @@ class CropDatasetHost:
         # drops from the full frame to ~the padded bbox (2-3x on 480x640
         # BOP scenes — the bottleneck of tunnel/low-bandwidth serving,
         # scripts/serving_bench.py).
-        if roi_slice:
-            if is_train:
-                raise ValueError("roi_slice is a serving mode "
-                                 "(is_train=False only)")
-            if resize_method != "crop_square_resize":
-                raise NotImplementedError(
-                    "roi_slice supports crop_square_resize only")
-        self.roi_slice = roi_slice
+        self.roi_slice = False
         self._slice_hw: Optional[tuple] = None
+        self._forced_slice_hw: Optional[tuple] = None
+        if roi_slice:
+            self.enable_roi_slice()
 
     def __len__(self):
         return len(self.rgb_files)
@@ -338,8 +334,50 @@ class CropDatasetHost:
             max_side = max(max_side, int(square_bbox(bbox)[4]))
         side = -(-max_side // 16) * 16
         hw = (min(side, im_h), min(side, im_w))
+        if self._forced_slice_hw is not None:
+            fh, fw = self._forced_slice_hw
+            if fh < hw[0] or fw < hw[1]:
+                raise ValueError(
+                    f"forced roi_slice buffer {self._forced_slice_hw} is "
+                    f"smaller than this dataset needs ({hw}) — real "
+                    f"pixels would be dropped")
+            hw = (min(fh, im_h), min(fw, im_w))
         self._slice_hw = (hw, (im_h, im_w))
         return hw
+
+    def natural_slice_hw(self) -> tuple:
+        """The buffer dims this dataset would use on its own (reads one
+        frame for the cap). Fleet serving takes the elementwise max over
+        K objects' naturals and imposes it via set_slice_hw so the
+        stacked lockstep batches share one shape."""
+        img = self._imread(self.rgb_files[0])
+        saved, self._slice_hw = self._slice_hw, None
+        forced, self._forced_slice_hw = self._forced_slice_hw, None
+        try:
+            return self._slice_buffer_hw(img.shape[0], img.shape[1])
+        finally:
+            self._slice_hw, self._forced_slice_hw = saved, forced
+
+    def set_slice_hw(self, hw: tuple) -> None:
+        """Impose a shared roi_slice buffer size (e.g. the fleet max, or
+        a serving blob's baked frame shape). Must cover this dataset's
+        own natural size — checked on first use."""
+        self._forced_slice_hw = (int(hw[0]), int(hw[1]))
+        self._slice_hw = None
+
+    def enable_roi_slice(self, hw: Optional[tuple] = None) -> None:
+        """Turn on roi_slice after construction (serve-exported drivers
+        flip it when the blob's metadata says the artifact was exported
+        for sliced buffers), optionally imposing a buffer size."""
+        if self.is_train:
+            raise ValueError("roi_slice is a serving mode "
+                             "(is_train=False only)")
+        if self.resize_method != "crop_square_resize":
+            raise NotImplementedError(
+                "roi_slice supports crop_square_resize only")
+        self.roi_slice = True
+        if hw is not None:
+            self.set_slice_hw(hw)
 
     def _slice_roi(self, out: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         """Byte-slice the clamped square-bbox region of every pixel

@@ -178,16 +178,25 @@ def load_serving(blob_or_path) -> ServingProgram:
                           meta)
 
 
-def _check_frame_size(prog: "ServingProgram", dataset) -> None:
+def _check_frame_size(prog: "ServingProgram", *datasets) -> None:
     """Fail with an actionable message (not a deep jax.export shape
-    error) when the split's frames don't match the artifact's."""
-    if len(dataset) == 0:
-        return
-    hw = tuple(dataset.get_raw(0)["rgb"].shape[:2])
-    if hw != prog.image_hw:
-        raise ValueError(
-            f"artifact was exported for frames {prog.image_hw}, split "
-            f"ships {hw} — re-export with --image_h/--image_w")
+    error) when the split's frames don't match the artifact's. For a
+    roi_slice artifact (exported at the walk's buffer dims), first flip
+    every dataset into roi_slice mode with the blob's baked buffer —
+    set_slice_hw's guard turns an undersized buffer into a loud error
+    instead of silently dropped pixels."""
+    if prog.meta.get("roi_slice"):
+        for ds in datasets:
+            ds.enable_roi_slice(prog.image_hw)
+    for ds in datasets:
+        if len(ds) == 0:
+            continue
+        hw = tuple(ds.get_raw(0)["rgb"].shape[:2])
+        if hw != prog.image_hw:
+            raise ValueError(
+                f"artifact was exported for frames {prog.image_hw}, "
+                f"split ships {hw} — re-export with "
+                f"--image_h/--image_w")
 
 
 def build_fleet_serving_fn(model, variables_list: List[dict],
@@ -289,7 +298,7 @@ def run_serve_exported_fleet(cfg, obj_names: List[str], blob_path: str,
     for name, oe in zip(obj_names, oes):
         if len(oe.dataset) == 0:
             raise ValueError(f"object {name}: empty eval split")
-    _check_frame_size(prog, oes[0].dataset)
+    _check_frame_size(prog, *[oe.dataset for oe in oes])
     Rs, ts, ok = serve_fleet_datasets(prog, [oe.dataset for oe in oes],
                                       seed=seed, batch_size=batch_size)
 
@@ -448,7 +457,7 @@ def run_serve_exported_vivo_fleet(cfg, obj_names: List[str],
                 f"{score_threshold}; a fleet blob cannot skip an object "
                 "(fixed model axis) — lower the threshold or use the "
                 "live vivo-fleet command")
-    _check_frame_size(prog, walks[0][1])
+    _check_frame_size(prog, *[ds for _, ds, _ in walks])
     Rs, ts, ok = serve_fleet_datasets(prog, [ds for _, ds, _ in walks],
                                       seed=seed, batch_size=batch_size)
 

@@ -194,7 +194,8 @@ def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
                    int8: bool = False,
                    max_samples: Optional[int] = None,
                    mask_rcnn: bool = False,
-                   mesh: Optional[Mesh] = None) -> dict:
+                   mesh: Optional[Mesh] = None,
+                   roi_slice: bool = False) -> dict:
     """Evaluate K objects with ONE program (the fleet analog of
     runner.run_test without refine/debug): per-object BOP datasets
     advance in lockstep (short datasets pad with valid=0 batches),
@@ -222,11 +223,19 @@ def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
                                     train=False, eval_model=True,
                                     data_folder=cfg.test_folder)
     oes = [prepare_object_eval(cfg, n, max_samples=max_samples,
-                               mask_rcnn=mask_rcnn, samples=shared)
+                               mask_rcnn=mask_rcnn, samples=shared,
+                               roi_slice=roi_slice)
            for n in obj_names]
     for n, oe in zip(obj_names, oes):
         if len(oe.dataset) == 0:
             raise ValueError(f"object {n}: empty eval split")
+    if roi_slice:
+        # lockstep batches stack across objects, so every dataset must
+        # emit one shape: impose the fleet-wide max buffer
+        naturals = [oe.dataset.natural_slice_hw() for oe in oes]
+        hw = (max(h for h, _ in naturals), max(w for _, w in naturals))
+        for oe in oes:
+            oe.dataset.set_slice_hw(hw)
 
     model = ZebraPoseNet(
         binary_code_length=cfg.number_of_itration,
@@ -287,7 +296,8 @@ def run_vivo_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
                    score_threshold: float = 0.2, batch_size: int = 16,
                    pnp_cfg: Optional[PnPConfig] = None,
                    int8: bool = False, mask_rcnn: bool = False,
-                   mesh: Optional[Mesh] = None) -> dict:
+                   mesh: Optional[Mesh] = None,
+                   roi_slice: bool = False) -> dict:
     """Vivo (multi-instance) fleet serving: K objects' detected
     instances answered by ONE fleet program per batch. The reference
     serves a multi-object scene (e.g. tless, 30 objects) by running
@@ -327,7 +337,7 @@ def run_vivo_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
             crop_size_gt=cfg.BoundingBox_CropSize_GT,
             padding_ratio=cfg.padding_ratio,
             resize_method=cfg.resize_method,
-            use_segmentation=mask_rcnn)
+            use_segmentation=mask_rcnn, roi_slice=roi_slice)
         if len(dataset) == 0:
             print(f"WARNING: {name}: no detection above score "
                   f"{score_threshold} in the split; skipped from the "
@@ -338,6 +348,11 @@ def run_vivo_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
         live.append((name, ck, obj_id, dataset, scores))
     if not live:
         raise ValueError("no object has any detected instance")
+    if roi_slice:
+        naturals = [ds.natural_slice_hw() for _, _, _, ds, _ in live]
+        hw = (max(h for h, _ in naturals), max(w for _, w in naturals))
+        for _, _, _, ds, _ in live:
+            ds.set_slice_hw(hw)
 
     model = ZebraPoseNet(
         binary_code_length=cfg.number_of_itration,
