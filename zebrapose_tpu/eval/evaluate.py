@@ -134,11 +134,19 @@ def make_eval_step(forward_fn, lut: CorrespondenceLUT,
 def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
                   seed: int = 0, variables=None,
                   collect_masks: bool = False,
-                  collect_codes: bool = False):
+                  collect_codes: bool = False,
+                  num_workers: int = 4):
     """Run the jitted eval step over the dataset. Returns (R, t, success),
     plus (visible_masks, entire_masks) with collect_masks (eval step built
     with return_masks=True), plus (codes) with collect_codes (eval step
-    built with return_codes=True)."""
+    built with return_codes=True).
+
+    num_workers: PNG-decode thread pool for the producer (cv2.imread
+    releases the GIL). With roi_slice cutting the H2D term, host decode
+    of full frames is the stream's remaining bound (PERF.md serving
+    section: 117 ms/b32 on 1 core vs 32 ms device) — a multi-core
+    serving host needs ~4-6 workers to saturate the chip. 0 = decode
+    inline in the producer thread."""
     n = len(dataset)
     Rs = np.zeros((n, 3, 3), np.float32)
     ts = np.zeros((n, 3), np.float32)
@@ -164,6 +172,10 @@ def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
 
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
     stop = threading.Event()
+    pool = None
+    if num_workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=num_workers)
 
     def _put(item):
         while not stop.is_set():
@@ -180,7 +192,8 @@ def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
                 if stop.is_set():
                     return
                 idx = list(range(start, min(start + batch_size, n)))
-                raw = _pad_to(dataset.collate(idx), batch_size)
+                raw = _pad_to(dataset.collate(idx, executor=pool),
+                              batch_size)
                 if not _put((start, len(idx), raw)):
                     return
             _put(None)
@@ -235,6 +248,9 @@ def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
             pass
         thread.join(timeout=10.0)
         raise
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
     result = (Rs, ts, ok)
     if collect_masks:
         result = result + (np.array(vis_masks), np.array(ent_masks))
