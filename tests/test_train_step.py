@@ -113,3 +113,133 @@ def test_shard_batch_multihost_branch_and_local_batch():
     assert local_batch_size(32, n_processes=1) == 32
     with pytest.raises(ValueError, match="divisible"):
         local_batch_size(33, n_processes=4)
+
+
+
+def _assert_tree_allclose(a, b, rtol=1e-6, atol=1e-7, exact=False):
+    fa, ta = jax.tree_util.tree_flatten(a)
+    fb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb
+    for i, (x, y) in enumerate(zip(fa, fb)):
+        if exact:
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=f"leaf {i}")
+        else:
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=rtol, atol=atol,
+                                       err_msg=f"leaf {i}")
+
+
+def _tiny_state(mesh, seed=0, lr=1e-3):
+    model = ZebraPoseNet(binary_code_length=16, variant="v2", concat=True)
+    variables = model.init(jax.random.PRNGKey(seed),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    state = create_train_state(model, variables, learning_rate=lr)
+    return state.replace(**{
+        f: replicate(mesh, getattr(state, f))
+        for f in ("step", "params", "batch_stats", "opt_state",
+                  "histogram", "best_score")})
+
+
+def test_accum_train_step_k1_matches_train_step():
+    """accum_steps=1 is the plain step (same grads/update, only the
+    grad/apply jit split differs)."""
+    from zebrapose_tpu.train.train_step import accum_train_step
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(42)
+    batch = shard_batch(mesh, _tiny_batch(rng, n=8, img=32, out=16))
+    cfg = CodeLossConfig()
+
+    s_ref, m_ref = train_step(_tiny_state(mesh), batch, cfg)
+    s_acc, m_acc = accum_train_step(_tiny_state(mesh), [batch], cfg)
+
+    assert int(s_acc.step) == int(s_ref.step) == 1
+    _assert_tree_allclose(s_ref.params, s_acc.params)
+    np.testing.assert_allclose(float(m_ref["loss_total"]),
+                               float(m_acc["loss_total"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m_ref["grad_norm"]),
+                               float(m_acc["grad_norm"]), rtol=1e-5)
+    # sequential stats threading == the fused step's stats
+    _assert_tree_allclose(s_ref.batch_stats, s_acc.batch_stats)
+    np.testing.assert_allclose(np.asarray(s_ref.histogram),
+                               np.asarray(s_acc.histogram), rtol=1e-6)
+
+
+def test_accum_identical_micros_update_equals_single_step():
+    """BN train mode normalizes with the micro-batch's OWN statistics,
+    so with k identical micro-batches every micro-gradient is identical
+    and the applied mean gradient equals the single-micro step's — the
+    parameter update must match train_step on one micro-batch."""
+    from zebrapose_tpu.train.train_step import accum_train_step
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(43)
+    micro = shard_batch(mesh, _tiny_batch(rng, n=8, img=32, out=16))
+    cfg = CodeLossConfig()
+
+    s_ref, _ = train_step(_tiny_state(mesh), micro, cfg)
+    s_acc, m_acc = accum_train_step(_tiny_state(mesh), [micro, micro], cfg)
+
+    assert int(s_acc.step) == 1  # k micros = ONE optimizer step
+    _assert_tree_allclose(s_ref.params, s_acc.params,
+                          rtol=1e-5, atol=1e-6)
+    assert np.isfinite(float(m_acc["loss_total"]))
+
+
+def test_accum_distinct_micros_mean_gradient():
+    """With two DIFFERENT micro-batches the accumulated update applies
+    the mean of the two micro-gradients: pin against composing the same
+    grad/apply primitives by hand."""
+    from zebrapose_tpu.train.train_step import (
+        accum_train_step,
+        apply_accumulated,
+        grad_step,
+    )
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(44)
+    m1 = shard_batch(mesh, _tiny_batch(rng, n=8, img=32, out=16))
+    m2 = shard_batch(mesh, _tiny_batch(rng, n=8, img=32, out=16))
+    cfg = CodeLossConfig()
+
+    # manual composition
+    st = _tiny_state(mesh)
+    g1, stats1, hist1, met1 = grad_step(st, m1, cfg)
+    st1 = st.replace(batch_stats=stats1, histogram=hist1)
+    g2, stats2, hist2, met2 = grad_step(st1, m2, cfg)
+    gsum = jax.tree.map(jnp.add, g1, g2)
+    st2 = st1.replace(batch_stats=stats2, histogram=hist2)
+    s_manual, gn = apply_accumulated(st2, gsum, 2)
+
+    s_acc, m_acc = accum_train_step(_tiny_state(mesh), [m1, m2], cfg)
+
+    _assert_tree_allclose(s_manual.params, s_acc.params, exact=True)
+    np.testing.assert_array_equal(np.asarray(s_manual.histogram),
+                                  np.asarray(s_acc.histogram))
+    np.testing.assert_allclose(
+        float(m_acc["loss_total"]),
+        (float(met1["loss_total"]) + float(met2["loss_total"])) / 2,
+        rtol=1e-6)
+    np.testing.assert_allclose(float(m_acc["grad_norm"]), float(gn),
+                               rtol=1e-6)
+
+
+def test_accum_learns_and_histogram_advances():
+    from zebrapose_tpu.train.train_step import accum_train_step
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(45)
+    m1 = shard_batch(mesh, _tiny_batch(rng, n=8, img=32, out=16))
+    m2 = shard_batch(mesh, _tiny_batch(rng, n=8, img=32, out=16))
+    cfg = CodeLossConfig()
+
+    state = _tiny_state(mesh)
+    losses = []
+    for _ in range(4):
+        state, m = accum_train_step(state, [m1, m2], cfg)
+        losses.append(float(m["loss_total"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 4
+    assert state.histogram.shape == (16,)
+    assert np.all(np.asarray(state.histogram) >= 0)

@@ -77,6 +77,14 @@ def main(argv=None):
     p_train.add_argument("--cache_images", action="store_true",
                          help="hold decoded full-res frames in host RAM "
                               "(skips per-draw imread/PNG decode)")
+    p_train.add_argument("--accum_steps", type=int, default=1,
+                         help="gradient accumulation: split each "
+                              "optimizer step's EFFECTIVE batch "
+                              "(cfg.batch_size) into this many "
+                              "sequential micro-batches — train at "
+                              "batch sizes HBM can't hold at once "
+                              "(the reference's only lever is more "
+                              "GPUs via DDP)")
 
     p_fleet = sub.add_parser(
         "train-fleet",
@@ -448,7 +456,7 @@ def main(argv=None):
             cache_images=args.cache_images,
             device_cache=(args.input_mode == "device_cache"),
             device_prefetch=(args.input_mode == "prefetch"),
-            qat=args.qat)
+            qat=args.qat, accum_steps=args.accum_steps)
         with profile_trace(args.profile):
             best = fit(res, log_freq=args.log_freq,
                        max_steps=args.max_steps, val_mode=args.val_mode)

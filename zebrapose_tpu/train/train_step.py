@@ -63,6 +63,105 @@ train_step = partial(jax.jit, static_argnames=(
     donate_argnames=("state",))(_train_step_impl)
 
 
+# ---------------------------------------------------------------------------
+# Gradient accumulation: k micro-batches -> one optimizer step.
+#
+# The reference has no equivalent (its only lever for a bigger batch is
+# more GPUs via DDP, train_v5.py); here one chip trains at any effective
+# batch size HBM can't hold at once. Semantics match k DDP micro-steps
+# without the update: parameters are FROZEN across the k micro-batches
+# (so the mean micro-gradient equals the gradient of the mean loss up to
+# BN batch statistics, which in train mode are per-micro-batch exactly
+# like per-replica BN under DDP), while BatchNorm running stats and the
+# histogram EMA advance sequentially micro -> micro.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("loss_cfg", "binary_loss_weight",
+                                   "predict_entire_mask"))
+def grad_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+              loss_cfg: CodeLossConfig,
+              binary_loss_weight: float = 3.0,
+              predict_entire_mask: bool = True):
+    """Gradients-only micro-batch step (no optimizer update).
+
+    Returns (grads, new_batch_stats, new_histogram, metrics). In BN
+    train mode the normalization uses the micro-batch's own statistics,
+    so grads do not depend on `state.batch_stats` — only the running
+    stats and the loss-histogram EMA carry between micro-batches.
+    """
+
+    def loss_fn(params):
+        outputs, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["image"], train=True, mutable=["batch_stats"])
+        gt_entire = batch.get("entire_mask") if predict_entire_mask else None
+        loss, new_hist, metrics = total_loss(
+            outputs, batch["mask"], gt_entire, batch["code"],
+            state.histogram, loss_cfg, binary_loss_weight)
+        return loss, (mutated["batch_stats"], new_hist, metrics)
+
+    grads, (new_stats, new_hist, metrics) = jax.grad(
+        loss_fn, has_aux=True)(state.params)
+    return grads, new_stats, new_hist, metrics
+
+
+@partial(jax.jit, donate_argnames=("acc",))
+def _acc_add(acc, grads):
+    return jax.tree.map(jnp.add, acc, grads)
+
+
+@partial(jax.jit, static_argnames=("accum_steps",),
+         donate_argnames=("state", "grads"))
+def apply_accumulated(state: TrainState, grads, accum_steps: int
+                      ) -> Tuple[TrainState, jnp.ndarray]:
+    """One optimizer update from summed micro-gradients (mean = sum/k).
+
+    `state` must already carry the LAST micro-batch's batch_stats and
+    histogram (accum_train_step threads them). Returns (state, grad_norm
+    of the mean gradient)."""
+    grads = jax.tree.map(lambda g: g / accum_steps, grads)
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+    grad_norm = jnp.sqrt(sum(
+        jnp.sum(g.astype(jnp.float32) ** 2)
+        for g in jax.tree.leaves(grads)))
+    return state.replace(step=state.step + 1, params=new_params,
+                         opt_state=new_opt), grad_norm
+
+
+def accum_train_step(state: TrainState, micro_batches,
+                     loss_cfg: CodeLossConfig,
+                     binary_loss_weight: float = 3.0,
+                     predict_entire_mask: bool = True
+                     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """Accumulated training step over an iterable of k micro-batches.
+
+    Equivalent to `train_step` when k == 1 (same programs modulo the
+    grad/apply jit split). Metrics are the mean over micro-batches;
+    grad_norm is the norm of the applied (mean) gradient.
+    """
+    acc = None
+    msum = None
+    n = 0
+    for batch in micro_batches:
+        grads, new_stats, new_hist, metrics = grad_step(
+            state, batch, loss_cfg,
+            binary_loss_weight=binary_loss_weight,
+            predict_entire_mask=predict_entire_mask)
+        state = state.replace(batch_stats=new_stats, histogram=new_hist)
+        acc = grads if acc is None else _acc_add(acc, grads)
+        msum = metrics if msum is None else jax.tree.map(jnp.add, msum,
+                                                         metrics)
+        n += 1
+    if n == 0:
+        raise ValueError("accum_train_step needs at least one micro-batch")
+    state, grad_norm = apply_accumulated(state, acc, n)
+    metrics = jax.tree.map(lambda x: x / n, msum)
+    metrics["grad_norm"] = grad_norm
+    return state, metrics
+
+
 @partial(jax.jit, static_argnames=("loss_cfg", "binary_loss_weight",
                                    "predict_entire_mask"))
 def eval_loss_step(state: TrainState, batch: Dict[str, jnp.ndarray],

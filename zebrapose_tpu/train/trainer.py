@@ -50,7 +50,7 @@ from zebrapose_tpu.parallel.mesh import (
 )
 from zebrapose_tpu.train.checkpoints import CheckpointManager
 from zebrapose_tpu.train.state import TrainState, create_train_state
-from zebrapose_tpu.train.train_step import train_step
+from zebrapose_tpu.train.train_step import accum_train_step, train_step
 from zebrapose_tpu.utils.logging import MetricsLogger
 
 
@@ -74,6 +74,10 @@ class TrainResources:
     pnp_cfg: PnPConfig = PnPConfig()
     val_batch_size: int = 16
     device_cache: Optional[object] = None  # DeviceDatasetCache
+    # k micro-batches of cfg.batch_size/k per optimizer step (1 = off).
+    # The train iterator is built at the micro-batch size; fit() draws k
+    # feeds per step and applies the mean gradient (train_step.py).
+    accum_steps: int = 1
 
 
 def _loss_cfg(cfg: ZebraConfig) -> CodeLossConfig:
@@ -169,49 +173,63 @@ def fit(res: TrainResources, log_freq: int = 1000,
     end_step = res.total_iterations if max_steps is None else \
         min(start_step + max_steps, res.total_iterations)
 
+    accum = max(int(getattr(res, "accum_steps", 1)), 1)
+
+    def _next_batch(aug_index: int):
+        """Draw one (micro-)batch from the iterator and preprocess it on
+        device. aug_index seeds the augmentation stream — distinct per
+        micro-batch so accumulation doesn't repeat augmentations."""
+        raw = next(res.train_iter)
+        if res.device_cache is not None:
+            # index-only input: pixels are already in HBM, the batch
+            # is gathered + preprocessed in one device program
+            feed = shard_batch(res.mesh, {
+                k: raw[k] for k in ("idx", "roi_param", "valid")})
+            return gather_preprocess_batch(
+                res.device_cache.arrays, feed["idx"],
+                feed["roi_param"], feed["valid"],
+                jax.random.fold_in(key, aug_index),
+                crop_img=cfg.BoundingBox_CropSize_image,
+                crop_gt=cfg.BoundingBox_CropSize_GT,
+                base=cfg.divide_number_each_itration,
+                n_bits=cfg.number_of_itration,
+                resize_method=cfg.resize_method,
+                use_pepper_salt=cfg.use_peper_salt,
+                use_motion_blur=cfg.use_motion_blur)
+        if getattr(res.train_iter, "device_resident", False):
+            # DevicePrefetchIterator already sharded the feed
+            # one step ahead; re-sharding would force a sync
+            feed = raw
+        else:
+            feed = shard_batch(res.mesh, {
+                k: raw[k] for k in ("rgb", "label", "mask",
+                                    "entire_mask", "roi_param",
+                                    "valid")})
+        return preprocess_batch(
+            feed,
+            jax.random.fold_in(key, aug_index),
+            crop_img=cfg.BoundingBox_CropSize_image,
+            crop_gt=cfg.BoundingBox_CropSize_GT,
+            base=cfg.divide_number_each_itration,
+            n_bits=cfg.number_of_itration, is_train=True,
+            resize_method=cfg.resize_method,
+            use_pepper_salt=cfg.use_peper_salt,
+            use_motion_blur=cfg.use_motion_blur)
+
     try:
         for it in range(start_step, end_step):
-            raw = next(res.train_iter)
-            if res.device_cache is not None:
-                # index-only input: pixels are already in HBM, the batch
-                # is gathered + preprocessed in one device program
-                feed = shard_batch(res.mesh, {
-                    k: raw[k] for k in ("idx", "roi_param", "valid")})
-                batch = gather_preprocess_batch(
-                    res.device_cache.arrays, feed["idx"],
-                    feed["roi_param"], feed["valid"],
-                    jax.random.fold_in(key, it),
-                    crop_img=cfg.BoundingBox_CropSize_image,
-                    crop_gt=cfg.BoundingBox_CropSize_GT,
-                    base=cfg.divide_number_each_itration,
-                    n_bits=cfg.number_of_itration,
-                    resize_method=cfg.resize_method,
-                    use_pepper_salt=cfg.use_peper_salt,
-                    use_motion_blur=cfg.use_motion_blur)
+            if accum == 1:
+                state, metrics = train_step(
+                    state, _next_batch(it), loss_cfg,
+                    binary_loss_weight=float(cfg.binary_loss_weight),
+                    predict_entire_mask=cfg.predict_entire_mask)
             else:
-                if getattr(res.train_iter, "device_resident", False):
-                    # DevicePrefetchIterator already sharded the feed
-                    # one step ahead; re-sharding would force a sync
-                    feed = raw
-                else:
-                    feed = shard_batch(res.mesh, {
-                        k: raw[k] for k in ("rgb", "label", "mask",
-                                            "entire_mask", "roi_param",
-                                            "valid")})
-                batch = preprocess_batch(
-                    feed,
-                    jax.random.fold_in(key, it),
-                    crop_img=cfg.BoundingBox_CropSize_image,
-                    crop_gt=cfg.BoundingBox_CropSize_GT,
-                    base=cfg.divide_number_each_itration,
-                    n_bits=cfg.number_of_itration, is_train=True,
-                    resize_method=cfg.resize_method,
-                    use_pepper_salt=cfg.use_peper_salt,
-                    use_motion_blur=cfg.use_motion_blur)
-            state, metrics = train_step(
-                state, batch, loss_cfg,
-                binary_loss_weight=float(cfg.binary_loss_weight),
-                predict_entire_mask=cfg.predict_entire_mask)
+                micros = (_next_batch(it * accum + j)
+                          for j in range(accum))
+                state, metrics = accum_train_step(
+                    state, micros, loss_cfg,
+                    binary_loss_weight=float(cfg.binary_loss_weight),
+                    predict_entire_mask=cfg.predict_entire_mask)
 
             if (it + 1) % sync_freq == 0:
                 # Drain the dispatch queue: every queued execution pins
@@ -327,7 +345,8 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
                       cache_images: bool = False,
                       device_cache: bool = False,
                       device_prefetch: bool = False,
-                      qat: bool = False) -> TrainResources:
+                      qat: bool = False,
+                      accum_steps: int = 1) -> TrainResources:
     """Assemble TrainResources from a real BOP tree (train_v2.py:40-223).
 
     pretrained_backbone: path to a torchvision resnet34 .pth, "auto"
@@ -341,6 +360,11 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
     once and feed the train loop indices only (DeviceDatasetCache) —
     for splits that fit (~2.4 MB/sample); removes the per-step raw-frame
     stream entirely.
+    accum_steps: gradient accumulation — cfg.batch_size stays the
+    EFFECTIVE batch; the train iterator yields batch_size/accum_steps
+    micro-batches and fit() applies one optimizer step per accum_steps
+    draws (mean gradient; BN/histogram stats advance per micro-batch —
+    see train_step.accum_train_step).
     device_prefetch: for splits too big for device_cache, overlap the
     raw-frame H2D copy with compute by sharding each batch one step
     ahead in a background thread (DevicePrefetchIterator).
@@ -440,6 +464,14 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
     # with a distinct sampling stream (DistributedSampler equivalent)
     import jax as _jax
     local_batch = local_batch_size(cfg.batch_size)
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+    if local_batch % accum_steps:
+        raise ValueError(
+            f"local batch {local_batch} not divisible by accum_steps "
+            f"{accum_steps}; cfg.batch_size is the EFFECTIVE batch and "
+            f"must split evenly into micro-batches")
+    local_batch //= accum_steps
     state = create_train_state(model, variables, learning_rate=lr,
                                n_bits=cfg.number_of_itration, gamma=gamma,
                                log_freq=log_freq)
@@ -471,4 +503,5 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
         vertices=vertices, diameter=diameter,
         symmetric=is_symmetric(cfg.dataset_name, obj_name),
         obj_id=obj_id, obj_name=obj_name, ckpt=ckpt, logger=logger,
-        total_iterations=iters, device_cache=dev_cache)
+        total_iterations=iters, device_cache=dev_cache,
+        accum_steps=accum_steps)
