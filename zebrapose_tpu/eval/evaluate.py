@@ -173,9 +173,23 @@ def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=2)
     stop = threading.Event()
     pool = None
+    # The dataset contract is duck-typed: stub datasets in tests (and any
+    # user-supplied collate-compatible object) need not accept the
+    # `executor=` kwarg — probe the signature once and only thread the
+    # pool through when collate declares it.
+    collate_kw = {}
     if num_workers > 0:
-        from concurrent.futures import ThreadPoolExecutor
-        pool = ThreadPoolExecutor(max_workers=num_workers)
+        import inspect
+
+        try:
+            takes_executor = "executor" in inspect.signature(
+                dataset.collate).parameters
+        except (TypeError, ValueError):
+            takes_executor = False
+        if takes_executor:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=num_workers)
+            collate_kw["executor"] = pool
 
     def _put(item):
         while not stop.is_set():
@@ -192,7 +206,7 @@ def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
                 if stop.is_set():
                     return
                 idx = list(range(start, min(start + batch_size, n)))
-                raw = _pad_to(dataset.collate(idx, executor=pool),
+                raw = _pad_to(dataset.collate(idx, **collate_kw),
                               batch_size)
                 if not _put((start, len(idx), raw)):
                     return
