@@ -20,16 +20,12 @@ from zebrapose_tpu.models.losses import CodeLossConfig, total_loss
 from zebrapose_tpu.train.state import TrainState
 
 
-def _train_step_impl(state: TrainState, batch: Dict[str, jnp.ndarray],
-                     loss_cfg: CodeLossConfig,
-                     binary_loss_weight: float = 3.0,
-                     predict_entire_mask: bool = True
-                     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    """batch: {"image" [N,H,W,3] (normalized), "mask" [N,h,w],
-    "entire_mask" [N,h,w], "code" [N,h,w,bits]}.
-
-    Unjitted body so `train.fleet` can vmap it over a stacked fleet of
-    per-object states; use the jitted `train_step` everywhere else."""
+def _loss_grads(state: TrainState, batch: Dict[str, jnp.ndarray],
+                loss_cfg: CodeLossConfig, binary_loss_weight: float,
+                predict_entire_mask: bool):
+    """Shared loss/gradient body for `_train_step_impl` and `grad_step`
+    — one definition so the fused and accumulated paths cannot drift
+    (the k=1 parity test pins them equal)."""
 
     def loss_fn(params):
         outputs, mutated = state.apply_fn(
@@ -41,8 +37,22 @@ def _train_step_impl(state: TrainState, batch: Dict[str, jnp.ndarray],
             state.histogram, loss_cfg, binary_loss_weight)
         return loss, (mutated["batch_stats"], new_hist, metrics)
 
-    grads, (new_stats, new_hist, metrics) = jax.grad(
-        loss_fn, has_aux=True)(state.params)
+    return jax.grad(loss_fn, has_aux=True)(state.params)
+
+
+def _train_step_impl(state: TrainState, batch: Dict[str, jnp.ndarray],
+                     loss_cfg: CodeLossConfig,
+                     binary_loss_weight: float = 3.0,
+                     predict_entire_mask: bool = True
+                     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """batch: {"image" [N,H,W,3] (normalized), "mask" [N,h,w],
+    "entire_mask" [N,h,w], "code" [N,h,w,bits]}.
+
+    Unjitted body so `train.fleet` can vmap it over a stacked fleet of
+    per-object states; use the jitted `train_step` everywhere else."""
+
+    grads, (new_stats, new_hist, metrics) = _loss_grads(
+        state, batch, loss_cfg, binary_loss_weight, predict_entire_mask)
     updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
     new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
     new_state = state.replace(
@@ -90,24 +100,16 @@ def grad_step(state: TrainState, batch: Dict[str, jnp.ndarray],
     so grads do not depend on `state.batch_stats` — only the running
     stats and the loss-histogram EMA carry between micro-batches.
     """
-
-    def loss_fn(params):
-        outputs, mutated = state.apply_fn(
-            {"params": params, "batch_stats": state.batch_stats},
-            batch["image"], train=True, mutable=["batch_stats"])
-        gt_entire = batch.get("entire_mask") if predict_entire_mask else None
-        loss, new_hist, metrics = total_loss(
-            outputs, batch["mask"], gt_entire, batch["code"],
-            state.histogram, loss_cfg, binary_loss_weight)
-        return loss, (mutated["batch_stats"], new_hist, metrics)
-
-    grads, (new_stats, new_hist, metrics) = jax.grad(
-        loss_fn, has_aux=True)(state.params)
+    grads, (new_stats, new_hist, metrics) = _loss_grads(
+        state, batch, loss_cfg, binary_loss_weight, predict_entire_mask)
     return grads, new_stats, new_hist, metrics
 
 
-@partial(jax.jit, donate_argnames=("acc",))
+@partial(jax.jit, donate_argnames=("acc", "grads"))
 def _acc_add(acc, grads):
+    # Both inputs are dead after the add; donating them keeps the
+    # accumulation-mode HBM peak at params + opt state + ONE
+    # gradient-sized buffer (the feature exists for HBM-limited configs).
     return jax.tree.map(jnp.add, acc, grads)
 
 

@@ -472,6 +472,18 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
             f"{accum_steps}; cfg.batch_size is the EFFECTIVE batch and "
             f"must split evenly into micro-batches")
     local_batch //= accum_steps
+    # each (global) micro-batch is sharded over every mesh device; this
+    # process contributes local_batch rows, which must cover its local
+    # device share evenly or the first shard_batch fails with an opaque
+    # GSPMD error instead of a config message
+    local_devices = max(world // _jax.process_count(), 1)
+    if local_batch % local_devices:
+        raise ValueError(
+            f"micro-batch {local_batch} per process (batch_size "
+            f"{cfg.batch_size} / accum_steps {accum_steps} / "
+            f"{_jax.process_count()} processes) not divisible by the "
+            f"{local_devices} local mesh devices; batch_size must be a "
+            f"multiple of accum_steps * total device count")
     state = create_train_state(model, variables, learning_rate=lr,
                                n_bits=cfg.number_of_itration, gamma=gamma,
                                log_freq=log_freq)
