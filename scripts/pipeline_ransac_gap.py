@@ -138,25 +138,26 @@ def main():
         return sum(jnp.sum(x) for x in parts)
 
     def with_hyp(raw, key):
-        sub3d, sub2d, sub_w, samp3d, samp2d = corr_prep(raw, key)
+        sub3d, sub2d, sub_w, samp3d, samp2d, n_fg = corr_prep(raw, key)
         H, S = cfg.n_hypotheses, cfg.sample_size
         Rs, ts = minimal_epnp_hypotheses(
             samp3d.reshape(b * H, S, 3), samp2d.reshape(b * H, S, 2),
             jnp.repeat(Ks, H, axis=0), cfg.gn_iters)
         return sub3d, sub2d, sub_w, Rs.reshape(b, H, 3, 3), \
-            ts.reshape(b, H, 3)
+            ts.reshape(b, H, 3), n_fg
 
     @jax.jit
     def p_hyp(raw, key):
-        _, _, _, Rs, ts = with_hyp(raw, key)
+        _, _, _, Rs, ts, _ = with_hyp(raw, key)
         return jnp.sum(Rs) + jnp.sum(ts)
 
     @jax.jit
     def p_full(raw, key):
-        sub3d, sub2d, sub_w, Rs, ts = with_hyp(raw, key)
-        R, t, ok, n = jax.vmap(lambda a, b2, c, d, e, f:
-                               pnp._ransac_finish(a, b2, c, d, e, f, cfg))(
-            sub3d, sub2d, sub_w, Rs, ts, Ks)
+        sub3d, sub2d, sub_w, Rs, ts, n_fg = with_hyp(raw, key)
+        R, t, ok, n = jax.vmap(lambda a, b2, c, d, e, f, g:
+                               pnp._ransac_finish(a, b2, c, d, e, f,
+                                                  g, cfg))(
+            sub3d, sub2d, sub_w, Rs, ts, Ks, n_fg)
         return jnp.sum(t) + jnp.sum(ok)
 
     progs = [("fwd", p_fwd), ("+points_gather", p_points_gather),

@@ -100,7 +100,7 @@ def main():
     def make_hyp(use_kernel):
         @jax.jit
         def p_hyp(p3, p2, w, keys):
-            _, _, _, samp3d, samp2d = prepare(p3, p2, w, keys)
+            _, _, _, samp3d, samp2d, _ = prepare(p3, p2, w, keys)
             Rs, ts = hyp(samp3d, samp2d, p3.shape[0], use_kernel)
             return jnp.sum(Rs) + jnp.sum(ts)
         return p_hyp
@@ -108,15 +108,17 @@ def main():
     def make_full(use_kernel):
         @jax.jit
         def p_full(p3, p2, w, keys):
-            sub3d, sub2d, sub_w, samp3d, samp2d = prepare(p3, p2, w, keys)
+            (sub3d, sub2d, sub_w, samp3d, samp2d,
+             n_fg) = prepare(p3, p2, w, keys)
             b = p3.shape[0]
             Rs, ts = hyp(samp3d, samp2d, b, use_kernel)
             H = cfg.n_hypotheses
             Rs = Rs.reshape(b, H, 3, 3)
             ts = ts.reshape(b, H, 3)
             R, t, ok, n = jax.vmap(
-                lambda a, b2, c, d, e: pnp._ransac_finish(
-                    a, b2, c, d, e, K, cfg))(sub3d, sub2d, sub_w, Rs, ts)
+                lambda a, b2, c, d, e, g: pnp._ransac_finish(
+                    a, b2, c, d, e, K, g, cfg))(sub3d, sub2d, sub_w,
+                                                Rs, ts, n_fg)
             return jnp.sum(R) + jnp.sum(n)
         return p_full
 

@@ -139,6 +139,48 @@ def test_ransac_empty_mask_fails_gracefully():
     np.testing.assert_array_equal(np.asarray(t), 0)
 
 
+def test_ransac_concentrated_mask_exact_tail():
+    """A mask whose foreground pixels all fall inside ONE contiguous
+    raster strip used to hard-fail the block subsample (all block
+    representatives collide). The exact-compaction tail of the subset
+    guarantees min(n_fg, E) distinct representatives, so any mask the
+    reference's >=6-correspondence gate accepts
+    (CNN_output_to_pose.py:126-131) reaches the solver here too."""
+    rng = np.random.default_rng(15)
+    R, t = _random_pose(rng)
+    P = 128 * 128
+    pts = np.zeros((P, 3), np.float32)
+    uv = np.zeros((P, 2), np.float32)
+    w = np.zeros(P, np.float32)
+    # 12 consecutive raster indices: spans at most 2 of the ~9-pixel
+    # blocks of a max_points=2048 subset over P=16384
+    fg_idx = np.arange(5000, 5012)
+    obj = _object_points(rng, len(fg_idx))
+    proj = np.array(project_points(jnp.asarray(obj), jnp.asarray(R),
+                                   jnp.asarray(t), jnp.asarray(K)))
+    pts[fg_idx] = obj
+    uv[fg_idx] = proj
+    w[fg_idx] = 1.0
+
+    cfg = PnPConfig(n_hypotheses=64, max_points=2048)
+    Re, te, ok, n_in = ransac_pnp(
+        jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(w),
+        jnp.asarray(K), jax.random.PRNGKey(4), cfg)
+    assert bool(ok), "concentrated mask must reach the solver"
+    assert _rot_err_deg(np.asarray(Re), R) < 1.0
+    assert np.linalg.norm(np.asarray(te) - t) < 5.0
+
+    # the success gate counts TRUE distinct foreground, not subset
+    # entries: 5 pixels (< min_points=6) must still fail even though
+    # the subset carries them twice (block rep + exact tail)
+    w5 = np.zeros(P, np.float32)
+    w5[fg_idx[:5]] = 1.0
+    _, _, ok5, _ = ransac_pnp(
+        jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(w5),
+        jnp.asarray(K), jax.random.PRNGKey(4), cfg)
+    assert not bool(ok5)
+
+
 def test_decode_to_pose_end_to_end():
     """Synthetic crop: every foreground pixel's class id maps (via LUT) to
     the 3D point whose projection is that pixel's original-image position,
@@ -234,7 +276,7 @@ def test_prepare_onehot_extraction_is_exact_gather():
     w = jnp.asarray((rng.random(P) < 0.3).astype(np.float32))
     key = jax.random.PRNGKey(3)
 
-    sub3d, sub2d, sub_w, samp3d, samp2d = jax.jit(
+    sub3d, sub2d, sub_w, samp3d, samp2d, _ = jax.jit(
         pnp_mod._ransac_prepare, static_argnums=4)(
             pts3d, pts2d, w, key, cfg)
 

@@ -452,49 +452,74 @@ def epnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
 def _ransac_prepare(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
                     key: jax.Array, cfg: PnPConfig):
     """Subset build + minimal-set sampling. Returns
-    (sub3d [Q,3], sub2d [Q,2], sub_w [Q], samp3d [H,S,3], samp2d [H,S,2]).
+    (sub3d [Q,3], sub2d [Q,2], sub_w [Q], samp3d [H,S,3], samp2d [H,S,2],
+    n_fg — the TRUE count of w>0 correspondences, for the success gate).
     """
     P = pts3d.shape[0]
+    n_fg = jnp.sum(w > 0)
 
     # --- bounded correspondence subset --------------------------------
     # All stages run on a representative subset of at most max_points
-    # correspondences. When P exceeds max_points, take one random
-    # foreground representative per contiguous P/max_points block
-    # (reshape + argmax): near-exact for sparse masks (every block
-    # containing foreground contributes one pixel), spatially spread for
-    # dense ones, and shape-static — unlike the previous top_k sort
-    # (~15 ms/b128 at P=128^2 on v5e) or full-P refine/polish
-    # (+20 ms/b128). Accepted edge-case regression: a mask whose >=6
-    # foreground pixels fall in fewer than min_points of these
-    # row-contiguous 1xblk strips yields < 6 representatives and
-    # hard-fails where the old exact top-k compaction solved it.
+    # correspondences. When P exceeds max_points the subset has two
+    # parts:
+    #   (a) one random foreground representative per contiguous
+    #       P/(max_points - E) block (reshape + argmax): near-exact for
+    #       sparse masks, spatially spread for dense ones, shape-static —
+    #       unlike the previous top_k sort (~15 ms/b128 at P=128^2 on
+    #       v5e) or full-P refine/polish (+20 ms/b128);
+    #   (b) an EXACT compaction of the first E foreground pixels
+    #       (inverse-CDF searchsorted + tiny E-row gather). (a) alone
+    #       hard-failed masks whose >=min_points foreground pixels fall
+    #       in fewer than min_points row-contiguous strips (all
+    #       representatives collide); (b) guarantees min(n_fg, E)
+    #       distinct representatives for ANY mask, so every mask the
+    #       reference's cv2.solvePnPRansac accepts (>=6 px,
+    #       CNN_output_to_pose.py:126-131) reaches the solver here too.
+    #       Masks with <= E foreground pixels are compacted exactly.
     if P > cfg.max_points:
-        blk = -(-P // cfg.max_points)
-        if P % cfg.max_points:
+        n_exact = min(64, cfg.max_points // 8)
+        q_blocks = cfg.max_points - n_exact
+        blk = -(-P // q_blocks)
+        pts3d_b, pts2d_b, w_b = pts3d, pts2d, w
+        if P % q_blocks:
             # pad to a whole number of blocks with zero-weight points —
             # never selected over real foreground, harmless if a block
             # is all padding (its representative has sub_w = 0)
-            pad = cfg.max_points * blk - P
-            pts3d = jnp.pad(pts3d, ((0, pad), (0, 0)))
-            pts2d = jnp.pad(pts2d, ((0, pad), (0, 0)))
-            w = jnp.pad(w, (0, pad))
-        prio = w + w * jax.random.uniform(jax.random.fold_in(key, 3),
-                                          w.shape, minval=0.0, maxval=0.5)
-        rep = jnp.argmax(prio.reshape(cfg.max_points, blk), axis=-1)
+            pad = q_blocks * blk - P
+            pts3d_b = jnp.pad(pts3d, ((0, pad), (0, 0)))
+            pts2d_b = jnp.pad(pts2d, ((0, pad), (0, 0)))
+            w_b = jnp.pad(w, (0, pad))
+        prio = w_b + w_b * jax.random.uniform(
+            jax.random.fold_in(key, 3), w_b.shape, minval=0.0, maxval=0.5)
+        rep = jnp.argmax(prio.reshape(q_blocks, blk), axis=-1)
         # extract the representatives as a one-hot block reduction, not a
         # gather (XLA gathers are the slow op class on TPU)
-        oh = jax.nn.one_hot(rep, blk, dtype=pts3d.dtype)  # [Q, blk]
+        oh = jax.nn.one_hot(rep, blk, dtype=pts3d.dtype)  # [Qb, blk]
         # HIGHEST: a bf16 one-hot contraction QUANTIZES the selected
         # coordinates to 8 mantissa bits (~0.4% -> ~1 px / ~0.2 mm)
         sub3d = jnp.einsum("qb,qbc->qc", oh,
-                           pts3d.reshape(cfg.max_points, blk, 3),
+                           pts3d_b.reshape(q_blocks, blk, 3),
                            precision=_HI)
         sub2d = jnp.einsum("qb,qbc->qc", oh,
-                           pts2d.reshape(cfg.max_points, blk, 2),
+                           pts2d_b.reshape(q_blocks, blk, 2),
                            precision=_HI)
         sub_w = jnp.einsum("qb,qb->q", oh,
-                           w.reshape(cfg.max_points, blk),
+                           w_b.reshape(q_blocks, blk),
                            precision=_HI)
+        if n_exact:
+            # the s-th foreground pixel is the first index whose
+            # running fg count reaches s+1; an E-element searchsorted
+            # (E*P compares) + E-row gather is noise next to the block
+            # reduction
+            cdf = jnp.cumsum((w > 0).astype(jnp.float32))
+            qv = jnp.arange(n_exact, dtype=jnp.float32) + 0.5
+            eidx = jnp.clip(jnp.searchsorted(cdf, qv, side="left",
+                                             method="compare_all"),
+                            0, P - 1)
+            emask = (jnp.arange(n_exact) < n_fg).astype(w.dtype)
+            sub3d = jnp.concatenate([sub3d, pts3d[eidx]])
+            sub2d = jnp.concatenate([sub2d, pts2d[eidx]])
+            sub_w = jnp.concatenate([sub_w, w[eidx] * emask])
     else:
         sub3d, sub2d, sub_w = pts3d, pts2d, w
     Q = sub3d.shape[0]
@@ -519,7 +544,7 @@ def _ransac_prepare(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
         cfg.n_hypotheses, cfg.sample_size, 3)
     samp2d = jnp.dot(oh_s, sub2d, precision=_HI).reshape(
         cfg.n_hypotheses, cfg.sample_size, 2)
-    return sub3d, sub2d, sub_w, samp3d, samp2d
+    return sub3d, sub2d, sub_w, samp3d, samp2d, n_fg
 
 
 def _solve_hypotheses(samp3d, samp2d, K, cfg: PnPConfig):
@@ -532,11 +557,16 @@ def _solve_hypotheses(samp3d, samp2d, K, cfg: PnPConfig):
         a, b, ww, K, cfg.gn_iters, cfg.fast_linalg))(samp3d, samp2d, ones)
 
 
-def _ransac_finish(sub3d, sub2d, sub_w, Rs, ts, K,
+def _ransac_finish(sub3d, sub2d, sub_w, Rs, ts, K, n_fg,
                    cfg: PnPConfig
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                               jnp.ndarray]:
-    """Score hypotheses, refine on inliers, polish, gate success."""
+    """Score hypotheses, refine on inliers, polish, gate success.
+
+    n_fg is the true w>0 correspondence count from BEFORE subsetting:
+    the exact-compaction tail can duplicate block representatives, so
+    counting sub_w > 0 would overstate the distinct-pixel support that
+    the reference's >=6-correspondence gate measures."""
     # score every hypothesis against the (subset) correspondences
     def reproj_err(R, t):
         proj = project_points(sub3d, R, t, K)
@@ -584,8 +614,7 @@ def _ransac_finish(sub3d, sub2d, sub_w, Rs, ts, K,
         in_fin = jnp.where(better, in_p, in_fin)
 
     n_in = jnp.sum(in_fin)
-    success = (jnp.sum(sub_w > 0) >= cfg.min_points) & \
-        (n_in >= cfg.min_points)
+    success = (n_fg >= cfg.min_points) & (n_in >= cfg.min_points)
     eye = jnp.eye(3, dtype=sub3d.dtype)
     R_out = jnp.where(success, R_fin, eye)
     t_out = jnp.where(success, t_fin, jnp.zeros((3,), sub3d.dtype))
@@ -610,10 +639,10 @@ def ransac_pnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
     (`decode_to_pose_batch`) runs the hypothesis stage as one fused
     Pallas kernel over all instances instead.
     """
-    sub3d, sub2d, sub_w, samp3d, samp2d = _ransac_prepare(
+    sub3d, sub2d, sub_w, samp3d, samp2d, n_fg = _ransac_prepare(
         pts3d, pts2d, w, key, cfg)
     Rs, ts = _solve_hypotheses(samp3d, samp2d, K, cfg)
-    return _ransac_finish(sub3d, sub2d, sub_w, Rs, ts, K, cfg)
+    return _ransac_finish(sub3d, sub2d, sub_w, Rs, ts, K, n_fg, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -701,7 +730,7 @@ def decode_to_pose_batch(masks: jnp.ndarray, codes: jnp.ndarray,
         return _ransac_prepare(pts3d, orig, fg,
                                jax.random.fold_in(key, 2), cfg)
 
-    sub3d, sub2d, sub_w, samp3d, samp2d = jax.vmap(prep)(
+    sub3d, sub2d, sub_w, samp3d, samp2d, n_fg = jax.vmap(prep)(
         masks, codes, bboxes, keys)
 
     B, H = samp3d.shape[0], samp3d.shape[1]
@@ -719,5 +748,5 @@ def decode_to_pose_batch(masks: jnp.ndarray, codes: jnp.ndarray,
         Rs = Rs.reshape(B, H, 3, 3)
         ts = ts.reshape(B, H, 3)
 
-    return jax.vmap(lambda a, b, c, d, e, f: _ransac_finish(
-        a, b, c, d, e, f, cfg))(sub3d, sub2d, sub_w, Rs, ts, Ks)
+    return jax.vmap(lambda a, b, c, d, e, f, g: _ransac_finish(
+        a, b, c, d, e, f, g, cfg))(sub3d, sub2d, sub_w, Rs, ts, Ks, n_fg)
