@@ -157,6 +157,68 @@ def test_cli_test_creates_timestamped_eval_dir(tmp_path, monkeypatch):
     assert f"eval run dir: {run_dir}" in log
 
 
+def test_cli_visualize_single_frame(tmp_path, monkeypatch):
+    """`visualize` = the one-frame debug entrypoint (reference
+    test_for_one_image.py): it must call run_test with debug=True,
+    batch_size=1 and the (scene, im) frame filter, inside a timestamped
+    run dir."""
+    import zebrapose_tpu.eval.runner as runner_mod
+
+    seen = {}
+
+    def fake_run_test(cfg, obj_name, ckpt_file, output_dir, **kw):
+        seen.update(kw)
+        return {"ADD_recall_0.1d": 1.0}
+
+    monkeypatch.setattr(runner_mod, "run_test", fake_run_test)
+    cfg_path = tmp_path / "cfg.txt"
+    cfg_path.write_text("\n".join([
+        "bop_path = /data/bop", "dataset_name = lmo",
+        "test_folder = test", "Detection_reaults = none",
+    ]) + "\n")
+    out_root = str(tmp_path / "vis_out")
+    rc = main(["visualize", "--cfg", str(cfg_path), "--obj_name", "ape",
+               "--ckpt_file", "x.pth", "--scene", "2", "--im", "7",
+               "--output_dir", out_root])
+    assert rc == 0
+    assert seen["frame"] == (2, 7)
+    assert seen["debug"] is True
+    assert seen["batch_size"] == 1
+    runs = os.listdir(out_root)
+    assert len(runs) == 1
+    conf = open(os.path.join(out_root, runs[0], "config.txt")).read()
+    assert "command : visualize" in conf
+    assert "frame : 2/7" in conf
+
+
+def test_cli_train_gt_labels_flag(tmp_path, monkeypatch):
+    """--gt_labels v1 selects the plain <split>_GT label directory
+    (reference train_v4 semantics); default is the symmetry-canonical
+    _GT_v2 (train_v2/v3/v5)."""
+    import zebrapose_tpu.train.trainer as trainer_mod
+
+    seen = {}
+
+    def fake_build(cfg, obj_name, out, **kw):
+        seen.update(kw)
+        return "RES"
+
+    monkeypatch.setattr(trainer_mod, "build_train_setup", fake_build)
+    monkeypatch.setattr(trainer_mod, "fit",
+                        lambda res, **kw: 0.0)
+    cfg_path = tmp_path / "cfg.txt"
+    cfg_path.write_text("dataset_name = lmo\n")
+    rc = main(["train", "--cfg", str(cfg_path), "--obj_name", "ape",
+               "--output_dir", str(tmp_path / "runs"),
+               "--gt_labels", "v1"])
+    assert rc == 0
+    assert seen["gt_dir_suffix"] == "_GT"
+    rc = main(["train", "--cfg", str(cfg_path), "--obj_name", "ape",
+               "--output_dir", str(tmp_path / "runs")])
+    assert rc == 0
+    assert seen["gt_dir_suffix"] == "_GT_v2"
+
+
 def test_cli_vivo_creates_timestamped_eval_dir(tmp_path, monkeypatch):
     import zebrapose_tpu.eval.runner_vivo as vivo_mod
 

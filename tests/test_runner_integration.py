@@ -220,6 +220,32 @@ def test_run_test_debug_and_refine_path(bop_tree, tmp_path):
                                        "lmo_ape.csv"))
 
 
+def test_prepare_object_eval_frame_filter(bop_tree):
+    """frame=(scene, im) restricts the walk to that single sample with
+    its aligned detection bbox/score (the visualize subcommand's
+    one-image entrypoint, reference test_for_one_image.py)."""
+    from zebrapose_tpu.eval.runner import prepare_object_eval
+
+    bop_path, det_path = bop_tree
+    cfg = ZebraConfig.from_dict({
+        "bop_path": bop_path, "dataset_name": "lmo",
+        "test_folder": "test", "Detection_reaults": det_path,
+        "BoundingBox_CropSize_image": 128,
+        "BoundingBox_CropSize_GT": 64,
+        "divide_number_each_itration": 2, "number_of_itration": 16,
+    })
+    oe = prepare_object_eval(cfg, "ape", frame=(2, 1))
+    assert len(oe.dataset) == 1
+    assert oe.dataset.rgb_files[0].endswith("000002/rgb/000001.png")
+    # image 1's detection (bbox_est [41,29,49,42], score 0.8) rode along
+    assert abs(oe.scores[0] - 0.8) < 1e-6
+    assert list(oe.dataset.detect_bboxes[0])[:2] == [41, 29]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not found"):
+        prepare_object_eval(cfg, "ape", frame=(2, 99))
+
+
 def test_run_test_empty_split_refine_no_crash(bop_tree, tmp_path):
     """A split with no usable samples (GT-less scenes are skipped by the
     walker) must return cleanly through the refine path instead of

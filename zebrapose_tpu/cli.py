@@ -85,6 +85,12 @@ def main(argv=None):
                               "batch sizes HBM can't hold at once "
                               "(the reference's only lever is more "
                               "GPUs via DDP)")
+    p_train.add_argument("--gt_labels", default="v2", choices=["v1", "v2"],
+                         help="GT label directory flavor: v2 = "
+                              "symmetry-canonical <split>_GT_v2 "
+                              "(train_v2/v3/v5 recipe, the default); "
+                              "v1 = plain <split>_GT labels (train_v4 "
+                              "semantics, bop_dataset_pytorch.py:240)")
 
     p_fleet = sub.add_parser(
         "train-fleet",
@@ -131,6 +137,24 @@ def main(argv=None):
                              "less host->device traffic)")
     p_test.add_argument("--profile", default=None,
                         help="write a JAX profiler trace to this dir")
+
+    p_vis = sub.add_parser(
+        "visualize",
+        help="full debug-artifact dump for ONE frame: mask panels, "
+             "per-bit code-error grids, pose overlay (the reference's "
+             "test_for_one_image.py / test_vis_mask.py entrypoints, "
+             "wrapped around the run_test --debug artifact set)")
+    _add_common(p_vis)
+    p_vis.add_argument("--ckpt_file", required=True)
+    p_vis.add_argument("--scene", type=int, required=True,
+                       help="BOP scene id (e.g. 2 for lmo test/000002)")
+    p_vis.add_argument("--im", type=int, required=True,
+                       help="image id within the scene")
+    p_vis.add_argument("--output_dir", default="eval_out")
+    p_vis.add_argument("--variant", default="v2",
+                       choices=["v1", "v2", "v3"])
+    p_vis.add_argument("--ignore_bit", type=int, default=0)
+    p_vis.add_argument("--mask_rcnn", action="store_true")
 
     p_tf = sub.add_parser(
         "test-fleet",
@@ -456,7 +480,8 @@ def main(argv=None):
             cache_images=args.cache_images,
             device_cache=(args.input_mode == "device_cache"),
             device_prefetch=(args.input_mode == "prefetch"),
-            qat=args.qat, accum_steps=args.accum_steps)
+            qat=args.qat, accum_steps=args.accum_steps,
+            gt_dir_suffix="_GT" if args.gt_labels == "v1" else "_GT_v2")
         with profile_trace(args.profile):
             best = fit(res, log_freq=args.log_freq,
                        max_steps=args.max_steps, val_mode=args.val_mode)
@@ -678,6 +703,26 @@ def main(argv=None):
                 int8=args.int8, max_samples=args.max_samples,
                 mask_rcnn=args.mask_rcnn, roi_slice=args.roi_slice)
             print(json.dumps(res, indent=2))
+        return 0
+
+    if args.command == "visualize":
+        from zebrapose_tpu.eval.runner import run_test
+        from zebrapose_tpu.utils.logging import TeeOutput, prepare_eval_dir
+        items = dict(cfg.to_dict())
+        items.update({"obj_name": args.obj_name,
+                      "checkpoint_file": args.ckpt_file,
+                      "command": "visualize",
+                      "frame": f"{args.scene}/{args.im}"})
+        run_dir = prepare_eval_dir(args.output_dir, items)
+        with TeeOutput(os.path.join(run_dir, "log.txt")):
+            print(f"eval run dir: {run_dir}")
+            metrics = run_test(
+                cfg, args.obj_name, args.ckpt_file, run_dir,
+                ignore_bit=args.ignore_bit, variant=args.variant,
+                debug=True, batch_size=1, mask_rcnn=args.mask_rcnn,
+                frame=(args.scene, args.im))
+            print(json.dumps(metrics, indent=2))
+            print(f"debug artifacts: {os.path.join(run_dir, 'debug')}")
         return 0
 
     if args.command in ("test", "vivo"):

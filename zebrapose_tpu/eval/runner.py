@@ -142,7 +142,8 @@ def prepare_object_eval(cfg: ZebraConfig, obj_name: str,
                         max_samples: Optional[int] = None,
                         mask_rcnn: bool = False,
                         samples=None,
-                        roi_slice: bool = False) -> ObjectEval:
+                        roi_slice: bool = False,
+                        frame: Optional[tuple] = None) -> ObjectEval:
     """Assemble one object's eval inputs: BOP walk (+BOP-challenge
     targets), detection ingestion (+ycbv keyframes), dataset, LUT, mesh
     geometry (test.py:85-240 setup).
@@ -150,7 +151,9 @@ def prepare_object_eval(cfg: ZebraConfig, obj_name: str,
     samples: a pre-walked BopSamples to reuse across objects (the walk
     is object-independent in the non-challenge path; run_test_fleet
     walks once for K objects). Ignored-and-rebuilt in BOP-challenge
-    mode, whose walk is per-object."""
+    mode, whose walk is per-object.
+    frame: (scene_id, im_id) — restrict the eval to that single frame
+    (the reference's test_for_one_image.py entrypoint)."""
     obj_id = lookup_obj_id(cfg.dataset_name, obj_name)
 
     if cfg.bop_challange:
@@ -179,6 +182,22 @@ def prepare_object_eval(cfg: ZebraConfig, obj_name: str,
     elif mask_rcnn:
         raise ValueError("mask_rcnn requires Detection_reaults with "
                          "RLE segmentations")
+    if frame is not None:
+        from zebrapose_tpu.data.bop_writer import parse_sample_ids
+        ids = parse_sample_ids(lists[0])
+        keep = [i for i, (s, im) in enumerate(ids)
+                if (s, im) == (int(frame[0]), int(frame[1]))]
+        if not keep:
+            raise ValueError(
+                f"frame scene={frame[0]} im={frame[1]} not found in "
+                f"{cfg.test_folder} (object {obj_name}); "
+                f"{len(ids)} frames walked")
+        lists = [[l[i] for i in keep] for l in lists]
+        if det_bboxes is not None:
+            det_bboxes = [det_bboxes[i] for i in keep]
+            scores = [scores[i] for i in keep]
+        if det_segs is not None:
+            det_segs = [det_segs[i] for i in keep]
     if max_samples is not None:
         lists = [l[:max_samples] for l in lists]
         if det_bboxes is not None:
@@ -214,7 +233,8 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
              max_samples: Optional[int] = None,
              mask_rcnn: bool = False,
              int8: bool = False,
-             roi_slice: bool = False) -> Dict[str, float]:
+             roi_slice: bool = False,
+             frame: Optional[tuple] = None) -> Dict[str, float]:
     """Single-instance evaluation of one object (test.py main).
 
     mask_rcnn: use the detector's RLE segmentation in place of the
@@ -226,7 +246,7 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
     (bit-exact crops, 2-3x less H2D — CropDatasetHost.roi_slice)."""
     oe = prepare_object_eval(cfg, obj_name, gt_dir_suffix=gt_dir_suffix,
                              max_samples=max_samples, mask_rcnn=mask_rcnn,
-                             roi_slice=roi_slice)
+                             roi_slice=roi_slice, frame=frame)
     obj_id, dataset, scores = oe.obj_id, oe.dataset, oe.scores
     lut, mesh, samples = oe.lut, oe.mesh, oe.samples
     vertices, diameter = oe.vertices, oe.diameter
