@@ -71,13 +71,19 @@ def _trained_mask_section(batch_size: int = 64, iters: int = 10):
     import jax
     import jax.numpy as jnp
 
-    root = os.environ.get("ZEBRAPOSE_TRAINED_ROOT", "/tmp/zebra_rehearsal3")
-    best_dir = os.path.join(root, "run", "checkpoints", "best")
-    if not (os.path.isdir(best_dir)
-            and os.path.isdir(os.path.join(root, "lmo", "test"))):
+    candidates = [os.environ.get("ZEBRAPOSE_TRAINED_ROOT"),
+                  "/tmp/zebra_rehearsal3",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "artifacts", "rehearsal3")]
+    root = next((r for r in candidates if r
+                 and os.path.isdir(os.path.join(r, "run", "checkpoints",
+                                                "best"))
+                 and os.path.isdir(os.path.join(r, "lmo", "test"))), None)
+    if root is None:
         return {"note": ("no trained checkpoint in this environment "
                          "(run scripts/rehearsal_full_shape.py); decode "
                          "timed on synthetic compact masks only")}
+    best_dir = os.path.join(root, "run", "checkpoints", "best")
     try:
         import orbax.checkpoint as ocp
 

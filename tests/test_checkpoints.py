@@ -42,6 +42,57 @@ def test_save_restore_roundtrip(tmp_path):
     mgr.close()
 
 
+def test_restore_step_dir_and_loud_empty_root(tmp_path):
+    """Eval entrypoints accept a direct orbax step dir verbatim, and an
+    empty checkpoint root raises instead of silently handing back the
+    random-init template (observed failure mode: garbage poses, recall
+    0.0, no error — 2026-08-19 CLI drive)."""
+    import os
+
+    import pytest
+
+    from zebrapose_tpu.train.checkpoints import is_step_dir, \
+        restore_step_dir
+
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    state = _mk_state()
+    state = state.replace(step=jnp.asarray(3, jnp.int32))
+    mgr.save_best(state, 0.5)
+    mgr.wait()
+
+    best = os.path.join(str(tmp_path / "ck"), "best", "step_3")
+    assert is_step_dir(best)
+    assert not is_step_dir(str(tmp_path / "ck"))
+    restored = restore_step_dir(best, _mk_state())
+    np.testing.assert_allclose(
+        np.asarray(restored.params["Dense_0"]["kernel"]),
+        np.asarray(state.params["Dense_0"]["kernel"]))
+    mgr.close()
+
+    # the runner loader refuses an empty root loudly
+    from test_trainer import TinyZebra
+    from zebrapose_tpu.eval.runner import load_model_variables
+    with pytest.raises(FileNotFoundError, match="Refusing"):
+        load_model_variables(str(tmp_path / "nothing_here"),
+                             model=TinyZebra(), variant="v2",
+                             crop_size=64)
+    # and accepts the step dir verbatim through the same entrypoint
+    # (template built inside the loader uses the default n_bits=16)
+    model16 = TinyNet()
+    v16 = model16.init(jax.random.PRNGKey(1), jnp.zeros((1, 3, 3, 3)))
+    s16 = create_train_state(model16, dict(v16), 1e-3)
+    mgr16 = CheckpointManager(str(tmp_path / "ck16"))
+    mgr16.save_best(s16, 0.25)
+    mgr16.wait()
+    mgr16.close()
+    best16 = os.path.join(str(tmp_path / "ck16"), "best", "step_0")
+    out = load_model_variables(best16, model=TinyNet(), variant="v2",
+                               crop_size=3)
+    np.testing.assert_allclose(
+        np.asarray(out["params"]["Dense_0"]["kernel"]),
+        np.asarray(s16.params["Dense_0"]["kernel"]))
+
+
 def test_rolling_keep_3(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ck"), keep=3)
     state = _mk_state()

@@ -224,6 +224,86 @@ def test_fit_fleet_resume(tmp_path):
         assert m.ckpt.latest_step() == 10
 
 
+def test_fleet_padding_step_matches_per_object_steps():
+    """K=3 on a 4-device mesh: stack_states(pad_to=4) adds one ghost row
+    (a copy of the last state) so the model axis divides the mesh; the
+    real rows' math must be untouched by the ghost."""
+    states = [_tiny_state(s)[1] for s in (0, 1, 2)]
+    batches = [_batch(20), _batch(21), _batch(22)]
+
+    mesh = make_fleet_mesh(jax.devices()[:4])
+    fleet = shard_fleet_state(mesh, stack_states(states, pad_to=4))
+    cat = {k: jnp.concatenate([b[k] for b in batches]
+                              + [batches[-1][k]]) for k in batches[0]}
+    fleet2, fm = fleet_train_step(fleet, cat, n_models=4,
+                                  loss_cfg=LOSS_CFG, mesh=mesh)
+
+    for i in range(3):
+        ref, mref = train_step(states[i], batches[i], LOSS_CFG)
+        got = index_state(fleet2, i)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+            got.params, ref.params)
+        for k in mref:
+            np.testing.assert_allclose(float(fm[k][i]), float(mref[k]),
+                                       rtol=1e-4, atol=1e-5)
+    # the ghost row trained on the last member's batch from the last
+    # member's init -> bit-identical to the real last row
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        index_state(fleet2, 3).params, index_state(fleet2, 2).params)
+
+
+def test_fit_fleet_padded_cadence(tmp_path):
+    """3 members on a 2-device mesh (n_pad=1), full fit cadence incl.
+    the padded fleet VALIDATION program; only real members get
+    checkpoints/logs/bests."""
+    scene = _build_scene(tmp_path, n_imgs=3)
+    members = [_member(tmp_path, scene, s, n)
+               for s, n in ((12, "pa"), (13, "pb"), (14, "pc"))]
+    mesh = make_fleet_mesh(jax.devices()[:2])
+    state = shard_fleet_state(
+        mesh, stack_states([m.state for m in members], pad_to=4))
+    fleet = FleetResources(members=members, mesh=mesh, state=state,
+                           n_pad=1)
+
+    best = fit_fleet(fleet, log_freq=5, validate=True, max_steps=5)
+    assert len(best) == 3
+    for name in ("pa", "pb", "pc"):
+        assert CheckpointManager(
+            os.path.join(str(tmp_path / name), "ck")).latest_step() == 5
+        rows = [json.loads(l) for l in
+                open(os.path.join(str(tmp_path / name), "logs",
+                                  "metrics.jsonl"))]
+        assert "val/ADD_recall_0.1d" in {r["tag"] for r in rows}
+
+
+def test_fleet_step_k16():
+    """Dataset-scale fleet axis: 16 independent models advance in one
+    vmapped step on the 8-device mesh (2 objects/device) and stay
+    independent."""
+    states = [_tiny_state(s)[1] for s in range(16)]
+    batches = [_batch(100 + s, n=2) for s in range(16)]
+    mesh = make_fleet_mesh()
+    fleet = shard_fleet_state(mesh, stack_states(states))
+    cat = {k: jnp.concatenate([b[k] for b in batches])
+           for k in batches[0]}
+    fleet2, fm = fleet_train_step(fleet, cat, n_models=16,
+                                  loss_cfg=LOSS_CFG, mesh=mesh)
+    losses = np.asarray(fm["loss_total"])
+    assert losses.shape == (16,)
+    assert np.isfinite(losses).all()
+    assert len(set(np.round(losses, 6))) > 8   # independent models
+    # spot-check one member against its independent step
+    ref, _ = train_step(states[5], batches[5], LOSS_CFG)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5),
+        index_state(fleet2, 5).params, ref.params)
+
+
 def test_fit_fleet_rejects_mismatched_steps(tmp_path):
     scene = _build_scene(tmp_path, n_imgs=2)
     members = [_member(tmp_path, scene, 6, "a"),

@@ -264,7 +264,11 @@ def run_inference(dataset: CropDatasetHost, eval_step, batch_size: int = 16,
         raise
     finally:
         if pool is not None:
-            pool.shutdown(wait=False)
+            # wait=True: the producer thread is already joined here, so no
+            # new decode tasks can arrive and outstanding ones are short
+            # PNG reads — joining the workers keeps them from outliving
+            # this call (callers assert no leaked threads).
+            pool.shutdown(wait=True, cancel_futures=True)
     result = (Rs, ts, ok)
     if collect_masks:
         result = result + (np.array(vis_masks), np.array(ent_masks))

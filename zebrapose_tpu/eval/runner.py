@@ -49,15 +49,29 @@ def load_model_variables(ckpt_file: str, model: ZebraPoseNet,
             sd, variant=variant, nonbinary=nonbinary,
             resnet_layers=resnet_layers)
 
-    from zebrapose_tpu.train.checkpoints import CheckpointManager
+    from zebrapose_tpu.train.checkpoints import (
+        CheckpointManager, is_step_dir, restore_step_dir)
     from zebrapose_tpu.train.state import create_train_state
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, crop_size, crop_size, 3)),
                            train=False)
     state = create_train_state(model, dict(variables), 1e-4)
-    mgr = CheckpointManager(ckpt_file)
-    best = mgr.restore_best(state)
-    state = best if best is not None else mgr.restore(state)
+    if is_step_dir(ckpt_file):
+        # a direct orbax step payload (.../best/step_N) passed verbatim
+        state = restore_step_dir(ckpt_file, state)
+    else:
+        mgr = CheckpointManager(ckpt_file)
+        best = mgr.restore_best(state)
+        if best is not None:
+            state = best
+        elif mgr.latest_step() is not None:
+            state = mgr.restore(state)
+        else:
+            raise FileNotFoundError(
+                f"no checkpoint under {ckpt_file!r}: expected a "
+                "CheckpointManager root (steps/ or best/ inside) or a "
+                "direct orbax step dir (.../best/step_N). Refusing to "
+                "evaluate random-init weights.")
     return {"params": jax.device_get(state.params),
             "batch_stats": jax.device_get(state.batch_stats)}
 

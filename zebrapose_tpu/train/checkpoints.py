@@ -34,6 +34,26 @@ def _state_payload(state: TrainState) -> Dict[str, Any]:
     }
 
 
+def is_step_dir(path: str) -> bool:
+    """True if `path` is a direct orbax step payload (.../steps/N or
+    .../best/step_N), as opposed to a CheckpointManager root."""
+    return os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "_CHECKPOINT_METADATA"))
+
+
+def restore_step_dir(path: str, state: TrainState) -> TrainState:
+    """Restore a direct orbax step payload dir into a state template.
+
+    Lets eval entrypoints accept `.../checkpoints/best/step_2500`
+    verbatim — pointing a CheckpointManager at such a dir would find no
+    rolling steps and silently hand back the caller's (random-init)
+    template, which as a production eval failure mode is poses-shaped
+    garbage with no error anywhere."""
+    target = jax.tree.map(np.asarray, _state_payload(state))
+    payload = ocp.StandardCheckpointer().restore(path, target=target)
+    return state.replace(**payload)
+
+
 class CheckpointManager:
     """Rolling step checkpoints (keep 3) + best-score checkpoint."""
 

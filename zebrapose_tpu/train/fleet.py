@@ -54,14 +54,24 @@ def fleet_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(MODEL_AXIS))
 
 
-def stack_states(states: List[TrainState]) -> TrainState:
+def stack_states(states: List[TrainState],
+                 pad_to: Optional[int] = None) -> TrainState:
     """Stack K per-object states into one fleet state (leading axis K).
 
     All states must share the architecture and optimizer (apply_fn/tx are
     taken from the first; they are static pytree fields so they cannot be
     stacked). Restored members may sit at different steps — `fit_fleet`
     requires them equal so the shared loop counter means the same thing
-    for every object."""
+    for every object.
+
+    `pad_to`: pad the fleet axis to this length by repeating the last
+    state — dataset-scale fleets rarely divide the mesh (lmo's 15 or
+    tless's 30 objects on 8 chips), and padding one ghost row wastes
+    1/K of the vmapped compute vs. idling whole devices on a sub-mesh.
+    Ghost rows are never checkpointed or reported (fit_fleet slices them
+    off)."""
+    if pad_to is not None and pad_to > len(states):
+        states = list(states) + [states[-1]] * (pad_to - len(states))
     t = states[0]
     stacked = {
         f: jax.tree.map(lambda *xs: jnp.stack(xs),
@@ -147,10 +157,13 @@ class FleetResources:
 
     Members must share every shape-determining config (crop sizes, code
     depth, architecture); datasets/LUTs/meshes/checkpoint dirs are
-    per-object."""
+    per-object. `n_pad` ghost rows (copies of the last member) pad the
+    fleet axis up to a multiple of the mesh size; they train on
+    duplicated data and are never checkpointed or reported."""
     members: list  # List[TrainResources]
     mesh: Mesh
-    state: TrainState  # stacked + sharded fleet state
+    state: TrainState  # stacked + sharded fleet state (K + n_pad rows)
+    n_pad: int = 0
 
 
 def build_fleet_setup(cfg, obj_names: List[str], output_dir: str,
@@ -183,25 +196,30 @@ def build_fleet_setup(cfg, obj_names: List[str], output_dir: str,
               for m in members}
     if len(shapes) > 1:
         raise ValueError(f"fleet members disagree on shapes: {shapes}")
-    state = shard_fleet_state(mesh, stack_states([m.state
-                                                  for m in members]))
-    return FleetResources(members=members, mesh=mesh, state=state)
+    pad = (-len(members)) % mesh.devices.size
+    state = shard_fleet_state(mesh, stack_states(
+        [m.state for m in members], pad_to=len(members) + pad))
+    return FleetResources(members=members, mesh=mesh, state=state,
+                          n_pad=pad)
 
 
 def _fleet_validate(members, state: TrainState, fleet_eval,
-                    key) -> List[Dict[str, float]]:
+                    key, n_pad: int = 0) -> List[Dict[str, float]]:
     """Pose validation for the whole fleet: the K val splits stream
     through the fleet eval program in lockstep (fleet_serve.fleet_infer),
     the stacked train-state params/batch_stats feed the vmapped forward
     directly, and each member gets the standard ADD/ADD-S metric dict
-    (trainer.fit's validation contract, train_v2.py:287-344)."""
+    (trainer.fit's validation contract, train_v2.py:287-344). Ghost rows
+    (n_pad) re-walk the last member's val split and are discarded."""
     from zebrapose_tpu.eval.evaluate import pose_errors, summarize
     from zebrapose_tpu.eval.fleet_serve import fleet_infer
 
     variables = {"params": state.params,
                  "batch_stats": state.batch_stats}
+    datasets = [m.val_dataset for m in members] + \
+        [members[-1].val_dataset] * n_pad
     Rs, ts, ok = fleet_infer(
-        [m.val_dataset for m in members], fleet_eval, variables,
+        datasets, fleet_eval, variables,
         min(m.val_batch_size for m in members), key)
     out = []
     for i, m in enumerate(members):
@@ -259,7 +277,8 @@ def fit_fleet(fleet: FleetResources, log_freq: int = 1000,
 
         if len({m.pnp_cfg for m in members}) > 1:
             raise ValueError("fleet members disagree on pnp_cfg")
-        lp, lv = stack_luts([m.lut for m in members])
+        lp, lv = stack_luts([m.lut for m in members]
+                            + [members[-1].lut] * fleet.n_pad)
         fleet_eval = make_fleet_eval_step(
             lambda b, v: members[0].model.apply(v, b["image"],
                                                 train=False),
@@ -274,12 +293,14 @@ def fit_fleet(fleet: FleetResources, log_freq: int = 1000,
     sh = fleet_sharding(fleet.mesh)
     key = jax.random.PRNGKey(0)
     best = [float(x) for x in
-            np.asarray(jax.device_get(state.best_score))]
+            np.asarray(jax.device_get(state.best_score))[:k]]
     feed_keys = ("rgb", "label", "mask", "entire_mask", "roi_param",
                  "valid")
     try:
         for it in range(start_step, end_step):
             raws = [next(m.train_iter) for m in members]
+            if fleet.n_pad:      # ghost rows re-train on the last
+                raws += [raws[-1]] * fleet.n_pad  # member's batch
             feed = {kk: jax.device_put(
                         np.concatenate([np.asarray(r[kk]) for r in raws]),
                         sh)
@@ -294,7 +315,7 @@ def fit_fleet(fleet: FleetResources, log_freq: int = 1000,
                 use_pepper_salt=cfg.use_peper_salt,
                 use_motion_blur=cfg.use_motion_blur)
             state, metrics = fleet_train_step(
-                state, batch, n_models=k, loss_cfg=loss_cfg,
+                state, batch, n_models=k + fleet.n_pad, loss_cfg=loss_cfg,
                 binary_loss_weight=float(cfg.binary_loss_weight),
                 predict_entire_mask=cfg.predict_entire_mask,
                 mesh=fleet.mesh)
@@ -318,7 +339,8 @@ def fit_fleet(fleet: FleetResources, log_freq: int = 1000,
                     val_metrics = _fleet_validate(
                         members, state, fleet_eval,
                         # distinct stream from the train-step keys
-                        jax.random.fold_in(key, (1 << 31) + it))
+                        jax.random.fold_in(key, (1 << 31) + it),
+                        n_pad=fleet.n_pad)
                     for i, m in enumerate(members):
                         prefix = "ADD-S" if m.symmetric else "ADD"
                         recall = val_metrics[i][f"{prefix}_recall_0.1d"]
@@ -332,9 +354,11 @@ def fit_fleet(fleet: FleetResources, log_freq: int = 1000,
                                                         jnp.float32)),
                                 best[i])
                     # fold the new bests back into the stacked state so
-                    # the NEXT rolling checkpoints persist them
+                    # the NEXT rolling checkpoints persist them (ghost
+                    # rows carry the last member's value, never saved)
                     state = state.replace(best_score=jax.device_put(
-                        np.asarray(best, np.float32), sh))
+                        np.asarray(best + [best[-1]] * fleet.n_pad,
+                                   np.float32), sh))
     finally:
         for m in members:
             m.train_iter.close()
