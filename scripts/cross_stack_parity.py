@@ -212,10 +212,14 @@ def reference_stack(root, pth_path, n, crop_img=256, crop_gt=128,
         GT_code_infos=[2, n_bits, 2 ** n_bits], padding_ratio=1.5,
         resize_method="crop_square_resize")
 
-    dict_pts = load_dict_class_id_3D_points(os.path.join(
+    # reference test.py:139 unpacks (total, divide, n_iter, dict)
+    _, _, _, dict_pts = load_dict_class_id_3D_points(os.path.join(
         ds_root, "models_GT_color", "Class_CorresPoint000001.txt"))
 
     results = []
+    nn_outputs = []   # (pred_mask, pred_code, Bbox, cam_K) per frame —
+    #                   lets the caller run OUR decoder on the
+    #                   reference's own forward outputs (attribution)
     t0 = time.time()
     with torch.no_grad():
         for i in range(n):
@@ -236,11 +240,15 @@ def reference_stack(root, pth_path, n, crop_img=256, crop_gt=128,
                             np.asarray(Rp, np.float64) if ok else None,
                             np.asarray(tp, np.float64).reshape(3)
                             if ok else None, bool(ok)))
+            nn_outputs.append((pred_mask.copy(),
+                               np.asarray(pred_code, np.float32),
+                               np.asarray(Bbox, np.int64),
+                               np.asarray(cam_K, np.float64)))
             if (i + 1) % 10 == 0:
                 print(f"  [ref] {i + 1}/{n} frames "
                       f"({(time.time() - t0) / (i + 1):.1f} s/frame)",
                       flush=True)
-    return results
+    return results, nn_outputs
 
 
 def our_stack(root, ckpt, out_dir, n, pnp):
@@ -280,7 +288,22 @@ def main():
                          "~10-20 s/frame on this 1-core host)")
     ap.add_argument("--pnp", type=int, default=128)
     ap.add_argument("--out", default="/tmp/cross_stack")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run OUR stack on the CPU backend (parity is "
+                         "about numbers, not speed; the axon tunnel can "
+                         "be wedged)")
     args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/zebrapose_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
 
     ckpt = args.ckpt
     if ckpt is None:
@@ -321,7 +344,7 @@ def main():
     print("== reference stack (torch modules from /root/reference) ==",
           flush=True)
     t0 = time.time()
-    ref = reference_stack(args.root, pth_path, args.n)
+    ref, nn_outputs = reference_stack(args.root, pth_path, args.n)
     t_ref = time.time() - t0
 
     ref_err = np.full(len(ref), 10000.0)
@@ -329,11 +352,41 @@ def main():
         if ok:
             ref_err[i] = add_errors_np(Rp, tp, Rg, tg, verts)
 
+    # ---- attribution: OUR decoder on the REFERENCE's forward outputs.
+    # Same pred_mask/pred_code/bbox/K as the cv2 path above, so any
+    # recall difference against `ref_err` isolates PnP solver strength
+    # (our RANSAC+refit+polish vs cv2 EPnP-RANSAC), with preprocessing
+    # and forward held fixed.
+    import jax
+    import jax.numpy as jnp
+
+    from zebrapose_tpu.codec.lut import load_correspondence_lut
+    from zebrapose_tpu.ops.pnp import PnPConfig, decode_to_pose_batch
+
+    lut = load_correspondence_lut(os.path.join(
+        ds_root, "models_GT_color", "Class_CorresPoint000001.txt"))
+    masks = np.stack([o[0] for o in nn_outputs]).astype(np.float32)
+    codes = np.stack([o[1] for o in nn_outputs])
+    bboxes = np.stack([o[2] for o in nn_outputs]).astype(np.int32)
+    Ks = np.stack([o[3] for o in nn_outputs]).astype(np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(11), masks.shape[0])
+    Rb, tb, okb, _ = jax.tree.map(np.asarray, decode_to_pose_batch(
+        jnp.asarray(masks), jnp.asarray(codes),
+        jnp.asarray(lut.points), jnp.asarray(lut.valid),
+        jnp.asarray(bboxes), jnp.asarray(Ks), keys,
+        bbox_size=codes.shape[1], base=2,
+        cfg=PnPConfig(n_hypotheses=args.pnp, max_points=2048)))
+    xdec_err = np.full(len(ref), 10000.0)
+    for i, (Rg, tg, _, _, _) in enumerate(ref):
+        if okb[i]:
+            xdec_err[i] = add_errors_np(Rb[i], tb[i], Rg, tg, verts)
+
     n = len(ref_err)
     ours_err = ours_err[:n]
     thr = 0.1 * diameter
     rec_ours = float(np.mean(ours_err < thr))
     rec_ref = float(np.mean(ref_err < thr))
+    rec_xdec = float(np.mean(xdec_err < thr))
     agree = float(np.mean((ours_err < thr) == (ref_err < thr)))
     both = (ours_err < 9999) & (ref_err < 9999)
     derr = np.abs(ours_err[both] - ref_err[both])
@@ -347,6 +400,12 @@ def main():
         "reference": {"recall_0.1d": rec_ref,
                       "solved": int(np.sum(ref_err < 9999)),
                       "wall_s": round(t_ref, 1)},
+        "our_decoder_on_reference_forward": {
+            "recall_0.1d": rec_xdec,
+            "solved": int(np.sum(xdec_err < 9999)),
+            "note": ("same pred mask/code/bbox/K as the cv2 path — any "
+                     "delta vs `reference` isolates PnP strength; any "
+                     "delta vs `ours` isolates preprocess+forward")},
         "recall_delta": abs(rec_ours - rec_ref),
         "recall_resolution": 1.0 / n,
         "decision_agreement": agree,
@@ -357,19 +416,36 @@ def main():
         },
         "per_frame": [
             {"i": i, "ours": round(float(a), 3),
-             "ref": round(float(b), 3)}
-            for i, (a, b) in enumerate(zip(ours_err, ref_err))],
+             "ref": round(float(b), 3), "xdec": round(float(c), 3)}
+            for i, (a, b, c) in enumerate(zip(ours_err, ref_err,
+                                              xdec_err))],
     }
     with open(os.path.join(args.out, "report.json"), "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({k: v for k, v in report.items()
                       if k != "per_frame"}, indent=2))
 
+    # Verdict. The two stacks deliberately differ in solver strength
+    # (ours: RANSAC + inlier refit + SE(3) polish; reference fallback:
+    # plain cv2 EPnP-RANSAC), so blanket recall equality is the wrong
+    # gate. Instead:
+    #   pnp_gap   = our decoder vs cv2 on IDENTICAL forward outputs
+    #   stack_gap = full our-stack vs our decoder on reference outputs
+    #               (isolates preprocess+forward composition)
+    # The run passes if we never LOSE to the reference beyond the
+    # val-set resolution on either axis; being better is the goal.
     band = max(0.005, 1.0 / n + 1e-9)   # +/-0.5% or one-frame resolution
-    ok = abs(rec_ours - rec_ref) <= band + 1e-12
-    print(f"\nPARITY {'OK' if ok else 'FAIL'}: |{rec_ours:.4f} - "
-          f"{rec_ref:.4f}| = {abs(rec_ours - rec_ref):.4f} "
-          f"(band {band:.4f})")
+    pnp_gap = rec_xdec - rec_ref
+    stack_gap = rec_ours - rec_xdec
+    ok = (rec_xdec + band >= rec_ref) and (rec_ours + band >= rec_ref)
+    print(f"\nrecall: ours={rec_ours:.4f}  ref={rec_ref:.4f}  "
+          f"our-decode-on-ref-forward={rec_xdec:.4f}")
+    print(f"pnp_gap (same forward) = {pnp_gap:+.4f}, "
+          f"stack_gap (preprocess+forward) = {stack_gap:+.4f}, "
+          f"band = {band:.4f}")
+    print(f"CROSS-STACK {'OK' if ok else 'FAIL'}: "
+          f"{'never worse than' if ok else 'LOSES to'} the reference "
+          f"stack beyond resolution")
     return 0 if ok else 1
 
 

@@ -71,6 +71,7 @@ _SLOW_TESTS = {
     ("test_pnp", "test_epnp_weights_ignore_garbage"),
     ("test_pnp", "test_polish_reduces_reprojection_error"),
     ("test_pnp", "test_ransac_empty_mask_fails_gracefully"),
+    ("test_pnp", "test_ransac_lo_top_k_no_worse_than_winner_only"),
     ("test_pnp", "test_ransac_subset_non_divisible_point_count"),
     ("test_pnp", "test_ransac_with_outliers_matches_cv2_quality"),
     ("test_trainer", "test_fit_runs_logs_checkpoints_and_resumes"),

@@ -106,7 +106,35 @@ def test_ransac_with_outliers_matches_cv2_quality():
     assert _rot_err_deg(np.asarray(Re), R) < _rot_err_deg(Rc, R) + 1.0
 
 
-def test_ransac_subset_non_divisible_point_count():
+def test_ransac_lo_top_k_no_worse_than_winner_only():
+    """lo_top_k>1 (LO on the top-k hypotheses, ProgX-style) must never
+    end with fewer inliers than refine-the-winner, and stays accurate
+    on a hard 50%-outlier scene. Small sizes — fast-subset test."""
+    rng = np.random.default_rng(31)
+    n, P = 80, 128
+    pts = _object_points(rng, n)
+    R, t = _random_pose(rng)
+    uv = np.array(project_points(jnp.asarray(pts), jnp.asarray(R),
+                                 jnp.asarray(t), jnp.asarray(K)))
+    uv += rng.normal(scale=0.5, size=uv.shape)
+    n_out = int(0.4 * n)          # 0.4^-6 clean-sample odds: ~99.8%
+    out_idx = rng.choice(n, n_out, replace=False)  # success at H=128
+    uv[out_idx] = rng.uniform(0, 640, size=(n_out, 2))
+    p3 = np.zeros((P, 3), np.float32)
+    p2 = np.zeros((P, 2), np.float32)
+    w = np.zeros(P, np.float32)
+    p3[:n], p2[:n], w[:n] = pts, uv, 1
+
+    res = {}
+    for k in (1, 4):
+        cfg = PnPConfig(n_hypotheses=128, max_points=P, lo_top_k=k)
+        Re, te, ok, n_in = ransac_pnp(
+            jnp.asarray(p3), jnp.asarray(p2), jnp.asarray(w),
+            jnp.asarray(K), jax.random.PRNGKey(5), cfg)
+        assert bool(ok), f"lo_top_k={k} failed"
+        res[k] = (int(n_in), _rot_err_deg(np.asarray(Re), R))
+    assert res[4][0] >= res[1][0]     # LO width never loses inliers
+    assert res[4][1] < 2.0
     """P not a multiple of max_points: the block subset pads with
     zero-weight points instead of silently skipping the bound."""
     rng = np.random.default_rng(14)

@@ -56,6 +56,14 @@ class Backbone(nn.Module):
             _stage(64, 64, 3),                        # 4 = layer1
             _stage(64, 128, 4, stride=2),             # 5 = layer2
         )
+        # concat_decoder=True registers the SAME modules a second time
+        # as skip-tap Sequentials (reference model/resnet.py:195-199) —
+        # the state_dict therefore carries duplicate resnet_layer_*
+        # key families, and a strict load demands them.
+        ch = list(self.resnet.children())
+        self.resnet_layer_1 = nn.Sequential(*ch[:3])
+        self.resnet_layer_2 = nn.Sequential(*ch[3:5])
+        self.resnet_layer_3 = nn.Sequential(*ch[5:6])
         self.layer4 = _stage(128, 256, 6, dil=2)
         self.layer5 = _stage(256, 512, 3, dil=4)
 
@@ -209,6 +217,10 @@ class Backbone50(nn.Module):
             _bstage(64, 64, 3),                 # 4 = layer1 (256 out)
             _bstage(256, 128, 4, stride=2),     # 5 = layer2 (512 out)
         )
+        ch = list(self.resnet.children())       # concat skip-tap aliases
+        self.resnet_layer_1 = nn.Sequential(*ch[:3])
+        self.resnet_layer_2 = nn.Sequential(*ch[3:5])
+        self.resnet_layer_3 = nn.Sequential(*ch[5:6])
         self.layer4 = _stage(512, 1024, 6, dil=2)
         self.layer5 = _stage(1024, 2048, 3, dil=4)
 

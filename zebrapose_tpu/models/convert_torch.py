@@ -235,10 +235,27 @@ class _ExportBuilder:
         self.upsample((ours_root, "upsample_2"), f"{theirs_root}.upsample_2")
 
 
+# With concat_decoder=True the reference's ResNet_BasicBlock_OS8
+# registers the SAME torchvision stem/layer1/layer2 modules TWICE —
+# once inside `self.resnet` (Sequential of children[:-4]) and again as
+# `self.resnet_layer_{1,2,3}` skip-tap Sequentials (model/resnet.py:
+# 195-199) — so its state_dict carries duplicate key families and a
+# strict load demands BOTH. The importer only needs the canonical
+# family; the exporter must emit the aliases too (found 2026-08-19 when
+# the first real cross-stack strict-load failed on them).
+_CONCAT_ALIASES = (
+    ("net.resnet.resnet.0.", "net.resnet.resnet_layer_1.0."),  # conv1
+    ("net.resnet.resnet.1.", "net.resnet.resnet_layer_1.1."),  # bn1
+    ("net.resnet.resnet.4.", "net.resnet.resnet_layer_2.1."),  # layer1
+    ("net.resnet.resnet.5.", "net.resnet.resnet_layer_3.0."),  # layer2
+)
+
+
 def export_reference_state_dict(variables: Dict[str, Any],
                                 variant: str = "v2",
                                 nonbinary: bool = False,
-                                resnet_layers: int = 34
+                                resnet_layers: int = 34,
+                                concat: bool = True
                                 ) -> Dict[str, np.ndarray]:
     """ZebraPoseNet variables -> a reference-format state_dict (numpy).
 
@@ -247,9 +264,16 @@ def export_reference_state_dict(variables: Dict[str, Any],
     (float32 leaves; wrap values in torch.from_numpy / use
     `save_reference_checkpoint` to write a loadable .pth). Enables
     round-tripping models trained HERE back into the reference's
-    torch tooling (test.py:85-120 checkpoint loading)."""
+    torch tooling (test.py:85-120 checkpoint loading). `concat` must
+    match the target module's concat_decoder flag (the shipped v2/v3
+    configs use True): it controls the duplicated resnet_layer_* alias
+    keys (see _CONCAT_ALIASES)."""
     eb = _ExportBuilder(variables)
     _walk_reference(eb, variant, nonbinary, resnet_layers)
+    if concat:
+        for src, dst in _CONCAT_ALIASES:
+            for k in [k for k in eb.sd if k.startswith(src)]:
+                eb.sd[dst + k[len(src):]] = eb.sd[k]
     return eb.sd
 
 
@@ -258,7 +282,8 @@ def save_reference_checkpoint(path: str, variables: Dict[str, Any],
                               best_score: float = 0.0,
                               variant: str = "v2",
                               nonbinary: bool = False,
-                              resnet_layers: int = 34) -> None:
+                              resnet_layers: int = 34,
+                              concat: bool = True) -> None:
     """Write a reference-format .pth (utils_v2.save_checkpoint dict:
     model_state_dict + iteration_step + best_score; optimizer and
     lr_scheduler states are torch-specific and omitted — the reference
@@ -267,7 +292,8 @@ def save_reference_checkpoint(path: str, variables: Dict[str, Any],
 
     sd = export_reference_state_dict(variables, variant=variant,
                                      nonbinary=nonbinary,
-                                     resnet_layers=resnet_layers)
+                                     resnet_layers=resnet_layers,
+                                     concat=concat)
     torch.save({
         "model_state_dict": {
             k: torch.from_numpy(np.ascontiguousarray(v)) if v.ndim

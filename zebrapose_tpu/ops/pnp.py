@@ -69,6 +69,16 @@ class PnPConfig:
     #                             worse on 0.5px-noisy minimal sets
     #                             [R err median .44 vs .013], so NOT the
     #                             default; see dlt_p6p)
+    lo_top_k: int = 1           # LO-RANSAC width: run the refit+polish
+    #                             local optimization on the top-k
+    #                             hypotheses by inlier count and keep the
+    #                             best refit (Progressive-X runs LO on
+    #                             promising candidates, not only the
+    #                             single best — CNN_output_to_pose.py:
+    #                             132-152). k=1 reproduces the classic
+    #                             refine-the-winner behavior; the
+    #                             scripts/progx_gap_study.py sweep bounds
+    #                             what larger k buys.
 
 
 def project_points(pts3d: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
@@ -576,9 +586,6 @@ def _ransac_finish(sub3d, sub2d, sub_w, Rs, ts, K, n_fg,
     errs = jnp.where(jnp.isnan(errs), jnp.inf, errs)
     inliers = (errs < cfg.reproj_threshold) & (sub_w > 0)[None, :]
     counts = jnp.sum(inliers, axis=-1)
-    best = jnp.argmax(counts)
-    R_best, t_best = Rs[best], ts[best]
-    in_best = inliers[best]
 
     # refinement: weighted EPnP over current inliers, re-estimating the
     # inlier set each round (cv2's final solve over the consensus set)
@@ -597,21 +604,35 @@ def _ransac_finish(sub3d, sub2d, sub_w, Rs, ts, K, n_fg,
         inl = jnp.where(better, inl2, inl)
         return (R, t, inl), None
 
-    (R_fin, t_fin, in_fin), _ = jax.lax.scan(
-        refine, (R_best, t_best, in_best), None, length=cfg.refine_iters)
+    def local_opt(R0, t0, in0):
+        """Refit on inliers (refine_iters rounds) + SE(3) GN polish —
+        the LO step, applied per candidate."""
+        (R_f, t_f, in_f), _ = jax.lax.scan(
+            refine, (R0, t0, in0), None, length=cfg.refine_iters)
+        if cfg.polish_iters > 0:
+            R_p, t_p = gauss_newton_pose_polish(
+                sub3d, sub2d, in_f.astype(sub3d.dtype), K, R_f, t_f,
+                cfg.polish_iters)
+            # keep the polish only if it does not lose inliers
+            err_p = jnp.linalg.norm(
+                project_points(sub3d, R_p, t_p, K) - sub2d, axis=-1)
+            in_p = (err_p < cfg.reproj_threshold) & (sub_w > 0)
+            better = jnp.sum(in_p) >= jnp.sum(in_f)
+            R_f = jnp.where(better, R_p, R_f)
+            t_f = jnp.where(better, t_p, t_f)
+            in_f = jnp.where(better, in_p, in_f)
+        return R_f, t_f, in_f
 
-    if cfg.polish_iters > 0:
-        R_p, t_p = gauss_newton_pose_polish(
-            sub3d, sub2d, in_fin.astype(sub3d.dtype), K, R_fin, t_fin,
-            cfg.polish_iters)
-        # keep the polish only if it does not lose inliers
-        err_p = jnp.linalg.norm(
-            project_points(sub3d, R_p, t_p, K) - sub2d, axis=-1)
-        in_p = (err_p < cfg.reproj_threshold) & (sub_w > 0)
-        better = jnp.sum(in_p) >= jnp.sum(in_fin)
-        R_fin = jnp.where(better, R_p, R_fin)
-        t_fin = jnp.where(better, t_p, t_fin)
-        in_fin = jnp.where(better, in_p, in_fin)
+    if cfg.lo_top_k <= 1:
+        best = jnp.argmax(counts)
+        R_fin, t_fin, in_fin = local_opt(Rs[best], ts[best],
+                                         inliers[best])
+    else:
+        k = min(cfg.lo_top_k, int(counts.shape[0]))
+        _, top = jax.lax.top_k(counts, k)
+        Rk, tk, ik = jax.vmap(local_opt)(Rs[top], ts[top], inliers[top])
+        bk = jnp.argmax(jnp.sum(ik, axis=-1))
+        R_fin, t_fin, in_fin = Rk[bk], tk[bk], ik[bk]
 
     n_in = jnp.sum(in_fin)
     success = (n_fg >= cfg.min_points) & (n_in >= cfg.min_points)
