@@ -316,6 +316,11 @@ def test_prepare_onehot_extraction_is_exact_gather():
     idx = jnp.clip(jnp.searchsorted(cdf, u, side="right",
                                     method="compare_all"),
                    0, sub3d.shape[0] - 1)
+    if cfg.sample_size < 6:   # sampler pads minimal sets to kernel width
+        idx = jnp.concatenate(
+            [idx, jnp.broadcast_to(idx[:, -1:],
+                                   (idx.shape[0], 6 - cfg.sample_size))],
+            axis=1)
     np.testing.assert_array_equal(np.asarray(samp3d),
                                   np.asarray(sub3d)[np.asarray(idx)])
     np.testing.assert_array_equal(np.asarray(samp2d),

@@ -49,7 +49,14 @@ _HI = jax.lax.Precision.HIGHEST
 @dataclasses.dataclass(frozen=True)
 class PnPConfig:
     n_hypotheses: int = 128
-    sample_size: int = 6
+    sample_size: int = 5    # minimal-sample size. cv2's RANSAC uses 5
+    #                         model points for SOLVEPNP_EPNP (the
+    #                         reference's executable path); 5 vs 6
+    #                         raises the clean-sample odds ~2.4x at 60%
+    #                         outliers (measured: solved 0.50 -> 0.62
+    #                         at H=128, 1.00 at H=256, equal-or-better
+    #                         accuracy at <=40% outliers — PERF.md
+    #                         ProgX-gap study, 2026-08-19)
     reproj_threshold: float = 2.0
     refine_iters: int = 2
     max_points: int = 4096      # correspondence subset capacity (one
@@ -544,16 +551,27 @@ def _ransac_prepare(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
     idx = jnp.searchsorted(cdf, u, side="right", method="compare_all")
     # degenerate empty mask -> arbitrary index; guarded below (min_points)
     idx = jnp.clip(idx, 0, Q - 1)
+    if cfg.sample_size < 6:
+        # Pad each minimal set to the Pallas kernel's fixed width 6 by
+        # repeating the last draw: EPnP is a least-squares solve, so a
+        # duplicated correspondence only double-weights one point —
+        # clean-sample odds stay inlier_rate^sample_size (the point of
+        # sample_size=5) and kernel/jnp paths see identical inputs.
+        idx = jnp.concatenate(
+            [idx, jnp.broadcast_to(idx[:, -1:],
+                                   (idx.shape[0], 6 - cfg.sample_size))],
+            axis=1)
 
     # Extract the sampled minimal sets as a one-hot matmul rather than a
     # row gather: XLA gathers are the slow op class on TPU (measured
     # 1.8 ms vs 0.5 ms per b128 at Q=2048, H*S=1024). One-hot times
     # value with HIGHEST accumulates a single nonzero term — exact.
+    s_eff = max(cfg.sample_size, 6)
     oh_s = jax.nn.one_hot(idx.reshape(-1), Q, dtype=sub3d.dtype)
     samp3d = jnp.dot(oh_s, sub3d, precision=_HI).reshape(
-        cfg.n_hypotheses, cfg.sample_size, 3)
+        cfg.n_hypotheses, s_eff, 3)
     samp2d = jnp.dot(oh_s, sub2d, precision=_HI).reshape(
-        cfg.n_hypotheses, cfg.sample_size, 2)
+        cfg.n_hypotheses, s_eff, 2)
     return sub3d, sub2d, sub_w, samp3d, samp2d, n_fg
 
 
@@ -761,9 +779,10 @@ def decode_to_pose_batch(masks: jnp.ndarray, codes: jnp.ndarray,
             samp3d, samp2d, Ks)
     else:
         Ks_flat = jnp.repeat(Ks, H, axis=0)          # [B*H, 3, 3]
+        s_eff = samp3d.shape[2]        # sampler pads sample_size<6 to 6
         Rs, ts = minimal_epnp_hypotheses(
-            samp3d.reshape(B * H, cfg.sample_size, 3),
-            samp2d.reshape(B * H, cfg.sample_size, 2),
+            samp3d.reshape(B * H, s_eff, 3),
+            samp2d.reshape(B * H, s_eff, 2),
             Ks_flat, cfg.gn_iters, use_kernel=use_kernel,
             fast=cfg.fast_linalg)
         Rs = Rs.reshape(B, H, 3, 3)

@@ -426,8 +426,12 @@ def minimal_epnp_hypotheses(samp3d: jnp.ndarray, samp2d: jnp.ndarray,
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     n = samp3d.shape[0]
+    if samp3d.shape[1] != S:
+        # the Pallas kernel is unrolled at width S=6 (sample_size<6 is
+        # padded up by the sampler; >6 falls back to the vmapped solve)
+        use_kernel = False
     if not use_kernel:
-        ones = jnp.ones((n, S), samp3d.dtype)
+        ones = jnp.ones((n, samp3d.shape[1]), samp3d.dtype)
         return jax.vmap(lambda a, b, w, K: epnp(a, b, w, K, gn_iters,
                                                 fast))(
             samp3d, samp2d, ones, Ks)
