@@ -193,6 +193,13 @@ def _probe_device(timeout_s: float = 180.0) -> bool:
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
+    if not ok.is_set():
+        # Slow-but-healthy first contact (backend init spikes of
+        # 100-150 s observed 2026-08-19) vs a true wedge (never
+        # returns): give one more window before declaring the device
+        # unreachable. A wedge costs 2x timeout to report; a spike
+        # does not fail the round's bench.
+        t.join(timeout_s)
     return ok.is_set()
 
 
@@ -207,10 +214,10 @@ def main():
             "error": "device unreachable: a trivial fetch timed out "
                      "(axon tunnel wedged?); see CLAUDE.md",
             "last_measured": {
-                "value": 1059.72, "unit": "crops/sec/chip",
-                "date": "2026-08-17",
+                "value": 1247.4, "unit": "crops/sec/chip",
+                "date": "2026-08-18",
                 "note": "most recent successful run of this same bench "
-                        "on this chip (BENCH_r02.json / PERF.md); "
+                        "on this chip (BENCH_r03.json / PERF.md); "
                         "reported for context only, NOT this run's "
                         "result"}}))
         return 1
@@ -337,8 +344,9 @@ def main():
             "note": ("same full pipeline with conv compute on the int8 "
                      "MXU path (CLI --int8); accuracy gate: after a "
                      "500-step --qat fine-tune int8 ADD recall matches "
-                     "bf16 exactly (0.7417, was 0.717 vs 0.733 pre-QAT; "
-                     "scripts/int8_eval.py, PERF.md)")},
+                     "bf16 within the 120-frame val set's resolution "
+                     "(+-0.008; 0.7417 vs 0.7417, was 0.717 vs 0.733 "
+                     "pre-QAT; scripts/int8_eval.py, VALIDATION.md)")},
         "trained_mask": _trained_mask_section(),
     }))
 

@@ -26,7 +26,13 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--root", default="/tmp/zebra_rehearsal3")
+    default_root = next(
+        (r for r in ("/tmp/zebra_rehearsal3",
+                     os.path.join(os.path.dirname(os.path.dirname(
+                         os.path.abspath(__file__))),
+                         "artifacts", "rehearsal3"))
+         if os.path.isdir(r)), "/tmp/zebra_rehearsal3")
+    ap.add_argument("--root", default=default_root)
     ap.add_argument("--run", default=None,
                     help="run dir holding checkpoints/best (default "
                          "<root>/run). Point at a --qat fine-tune's out "

@@ -141,3 +141,42 @@ def test_fit_loss_only_validation(tmp_path):
     assert np.isfinite(vals).all()
     # fit() closed the iterator (try/finally); a second close is a no-op
     train_iter.close()
+
+
+def test_timed_steps_smoke(tmp_path):
+    """timed_steps: the sustained-rate measurement harness runs the same
+    step path as fit() (shared _make_batch_fn), returns a positive
+    ms/step, and leaves the iterator open for the caller to close."""
+    from zebrapose_tpu.train.trainer import timed_steps
+
+    ds_dir, lists, lut = _build_scene(tmp_path, n_imgs=3)
+    rgb, mask, maskv, gts, gtis, cams = lists
+    ds = CropDatasetHost(
+        ds_dir, "test", rgb, mask, maskv, gts, gtis, cams,
+        is_train=True, crop_size_img=64, crop_size_gt=32)
+    cfg = ZebraConfig.from_dict({
+        "BoundingBox_CropSize_image": 64,
+        "BoundingBox_CropSize_GT": 32,
+        "batch_size": 8, "total_iteration": 1000,
+        "predict_entire_mask": True})
+    model = TinyZebra()
+    variables = model.init(jax.random.PRNGKey(3),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    state = create_train_state(model, dict(variables), 1e-3)
+    out_dir = str(tmp_path / "run_timed")
+    train_iter = MixedBatchIterator(ds, None, batch_size=8)
+    res = TrainResources(
+        cfg=cfg, model=model, state=state, mesh=make_mesh(),
+        train_iter=train_iter, val_dataset=None, lut=lut,
+        vertices=lut.points[lut.valid][::11], diameter=80.0,
+        symmetric=False, obj_id=1, obj_name="ape",
+        ckpt=CheckpointManager(os.path.join(out_dir, "ck")),
+        logger=MetricsLogger(os.path.join(out_dir, "logs"),
+                             also_stdout=False),
+        total_iterations=1000)
+
+    ms = timed_steps(res, n_steps=3, warm=2, sync_freq=2)
+    assert np.isfinite(ms) and ms > 0
+    # timed_steps does NOT close the iterator (caller owns it)
+    assert next(res.train_iter) is not None
+    train_iter.close()

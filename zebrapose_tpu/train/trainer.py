@@ -130,6 +130,110 @@ def _validate_loss_only(res: TrainResources, state: TrainState,
     return {k: v / max(n_batches, 1) for k, v in sums.items()}
 
 
+def _make_batch_fn(res: TrainResources, key: jax.Array):
+    """Build the per-step batch closure shared by fit() and
+    timed_steps(): draw one (micro-)batch from res.train_iter and
+    preprocess it on device. The aug_index argument seeds the
+    augmentation stream — distinct per micro-batch so gradient
+    accumulation doesn't repeat augmentations."""
+    cfg = res.cfg
+
+    def _next_batch(aug_index: int):
+        raw = next(res.train_iter)
+        if res.device_cache is not None:
+            # index-only input: pixels are already in HBM, the batch
+            # is gathered + preprocessed in one device program
+            feed = shard_batch(res.mesh, {
+                k: raw[k] for k in ("idx", "roi_param", "valid")})
+            return gather_preprocess_batch(
+                res.device_cache.arrays, feed["idx"],
+                feed["roi_param"], feed["valid"],
+                jax.random.fold_in(key, aug_index),
+                crop_img=cfg.BoundingBox_CropSize_image,
+                crop_gt=cfg.BoundingBox_CropSize_GT,
+                base=cfg.divide_number_each_itration,
+                n_bits=cfg.number_of_itration,
+                resize_method=cfg.resize_method,
+                use_pepper_salt=cfg.use_peper_salt,
+                use_motion_blur=cfg.use_motion_blur)
+        if getattr(res.train_iter, "device_resident", False):
+            # DevicePrefetchIterator already sharded the feed
+            # one step ahead; re-sharding would force a sync
+            feed = raw
+        else:
+            feed = shard_batch(res.mesh, {
+                k: raw[k] for k in ("rgb", "label", "mask",
+                                    "entire_mask", "roi_param",
+                                    "valid")})
+        return preprocess_batch(
+            feed,
+            jax.random.fold_in(key, aug_index),
+            crop_img=cfg.BoundingBox_CropSize_image,
+            crop_gt=cfg.BoundingBox_CropSize_GT,
+            base=cfg.divide_number_each_itration,
+            n_bits=cfg.number_of_itration, is_train=True,
+            resize_method=cfg.resize_method,
+            use_pepper_salt=cfg.use_peper_salt,
+            use_motion_blur=cfg.use_motion_blur)
+
+    return _next_batch
+
+
+def timed_steps(res: TrainResources, n_steps: int = 500,
+                warm: int = 20, sync_freq: int = 50) -> float:
+    """Sustained optimizer rate: run `warm` unmeasured steps (compile +
+    pipeline fill), then time `n_steps` steps and return ms/step.
+
+    Synchronization is explicit scalar fetches because
+    `block_until_ready` is a no-op on the axon platform (CLAUDE.md):
+    the queue is drained once before starting the clock and once after
+    the last step (in-order execution means fetching the final step's
+    loss waits for everything before it). A fetch every `sync_freq`
+    steps bounds the dispatch queue exactly like fit() does, so the
+    measured rate includes the same amortized ~30 ms tunnel RTT the
+    production loop pays.
+
+    Unlike fit(), this neither saves checkpoints nor closes
+    res.train_iter — but it does consume res.state via donation (on a
+    1-device mesh replicate() aliases rather than copies), so the
+    TrainResources is single-use afterwards, same as after fit().
+    """
+    import time as _time
+
+    cfg = res.cfg
+    loss_cfg = _loss_cfg(cfg)
+    state = res.state.replace(**{
+        f: replicate(res.mesh, getattr(res.state, f))
+        for f in ("step", "params", "batch_stats", "opt_state",
+                  "histogram", "best_score")})
+    _next_batch = _make_batch_fn(res, jax.random.PRNGKey(0))
+    accum = max(int(getattr(res, "accum_steps", 1)), 1)
+
+    def one_step(state, it):
+        if accum == 1:
+            return train_step(
+                state, _next_batch(it), loss_cfg,
+                binary_loss_weight=float(cfg.binary_loss_weight),
+                predict_entire_mask=cfg.predict_entire_mask)
+        micros = (_next_batch(it * accum + j) for j in range(accum))
+        return accum_train_step(
+            state, micros, loss_cfg,
+            binary_loss_weight=float(cfg.binary_loss_weight),
+            predict_entire_mask=cfg.predict_entire_mask)
+
+    for it in range(warm):
+        state, metrics = one_step(state, it)
+    float(jax.device_get(metrics["loss_total"]))   # drain before clock
+
+    t0 = _time.time()
+    for it in range(warm, warm + n_steps):
+        state, metrics = one_step(state, it)
+        if (it + 1 - warm) % sync_freq == 0:
+            float(jax.device_get(metrics["loss_total"]))
+    float(jax.device_get(metrics["loss_total"]))   # drain inside clock
+    return (_time.time() - t0) / n_steps * 1e3
+
+
 def fit(res: TrainResources, log_freq: int = 1000,
         validate: bool = True, max_steps: Optional[int] = None,
         val_mode: str = "pose", sync_freq: int = 50) -> float:
@@ -174,47 +278,7 @@ def fit(res: TrainResources, log_freq: int = 1000,
         min(start_step + max_steps, res.total_iterations)
 
     accum = max(int(getattr(res, "accum_steps", 1)), 1)
-
-    def _next_batch(aug_index: int):
-        """Draw one (micro-)batch from the iterator and preprocess it on
-        device. aug_index seeds the augmentation stream — distinct per
-        micro-batch so accumulation doesn't repeat augmentations."""
-        raw = next(res.train_iter)
-        if res.device_cache is not None:
-            # index-only input: pixels are already in HBM, the batch
-            # is gathered + preprocessed in one device program
-            feed = shard_batch(res.mesh, {
-                k: raw[k] for k in ("idx", "roi_param", "valid")})
-            return gather_preprocess_batch(
-                res.device_cache.arrays, feed["idx"],
-                feed["roi_param"], feed["valid"],
-                jax.random.fold_in(key, aug_index),
-                crop_img=cfg.BoundingBox_CropSize_image,
-                crop_gt=cfg.BoundingBox_CropSize_GT,
-                base=cfg.divide_number_each_itration,
-                n_bits=cfg.number_of_itration,
-                resize_method=cfg.resize_method,
-                use_pepper_salt=cfg.use_peper_salt,
-                use_motion_blur=cfg.use_motion_blur)
-        if getattr(res.train_iter, "device_resident", False):
-            # DevicePrefetchIterator already sharded the feed
-            # one step ahead; re-sharding would force a sync
-            feed = raw
-        else:
-            feed = shard_batch(res.mesh, {
-                k: raw[k] for k in ("rgb", "label", "mask",
-                                    "entire_mask", "roi_param",
-                                    "valid")})
-        return preprocess_batch(
-            feed,
-            jax.random.fold_in(key, aug_index),
-            crop_img=cfg.BoundingBox_CropSize_image,
-            crop_gt=cfg.BoundingBox_CropSize_GT,
-            base=cfg.divide_number_each_itration,
-            n_bits=cfg.number_of_itration, is_train=True,
-            resize_method=cfg.resize_method,
-            use_pepper_salt=cfg.use_peper_salt,
-            use_motion_blur=cfg.use_motion_blur)
+    _next_batch = _make_batch_fn(res, key)
 
     try:
         for it in range(start_step, end_step):
