@@ -63,22 +63,52 @@ def _trained_mask_section(batch_size: int = 64, iters: int = 10):
     compact masks of the headline — with a trained checkpoint on real
     rendered frames, when the full-shape rehearsal artifacts
     (scripts/rehearsal_full_shape.py: trained-to-0.74-recall ckpt +
-    on-disk BOP tree) exist in this environment. Headline numbers stay
-    on synthetic masks so they are reproducible from a bare checkout;
-    this section makes the workload composition honest whenever a
-    trained model is available (a random-weight mask head would be
-    noise — see PERF.md)."""
+    on-disk BOP tree) exist in this environment, OR from the COMMITTED
+    compact checkpoint `trained/rehearsal3_best.npz` (bf16-stored
+    params+batch_stats, forward-bit-exact — utils/compact_ckpt.py) plus
+    a deterministic rebuild of the rehearsal tree, so the section is
+    reproducible from a bare checkout (~2 min one-time tree render).
+    Headline numbers stay on synthetic masks; this section makes the
+    workload composition honest whenever a trained model is available
+    (a random-weight mask head would be noise — see PERF.md)."""
     import jax
     import jax.numpy as jnp
 
+    repo = os.path.dirname(os.path.abspath(__file__))
     candidates = [os.environ.get("ZEBRAPOSE_TRAINED_ROOT"),
                   "/tmp/zebra_rehearsal3",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "artifacts", "rehearsal3")]
+                  os.path.join(repo, "artifacts", "rehearsal3")]
     root = next((r for r in candidates if r
                  and os.path.isdir(os.path.join(r, "run", "checkpoints",
                                                 "best"))
                  and os.path.isdir(os.path.join(r, "lmo", "test"))), None)
+    npz_variables = npz_meta = None
+    if root is None:
+        # Committed compact checkpoint (params+batch_stats, bf16-stored,
+        # forward-bit-exact for the bf16 model — utils/compact_ckpt.py):
+        # rebuild the DETERMINISTIC rehearsal tree (seed 0 -> identical
+        # val frames to the ones the ckpt's best-selection saw) and run
+        # from a bare checkout even after an environment reset wiped
+        # the gitignored artifacts/ dir (it did, between r4 sessions).
+        npz = os.path.join(repo, "trained", "rehearsal3_best.npz")
+        if os.path.exists(npz):
+            try:
+                import importlib.util
+
+                from zebrapose_tpu.utils.compact_ckpt import load_compact
+
+                root = "/tmp/zebra_rehearsal_bench"
+                if not os.path.isdir(os.path.join(root, "lmo", "test")):
+                    spec = importlib.util.spec_from_file_location(
+                        "rehearsal_full_shape",
+                        os.path.join(repo, "scripts",
+                                     "rehearsal_full_shape.py"))
+                    mod = importlib.util.module_from_spec(spec)
+                    spec.loader.exec_module(mod)
+                    mod.build_tree(root, n_train=160, n_val=120)
+                npz_variables, npz_meta = load_compact(npz)
+            except Exception as e:          # pragma: no cover
+                return {"note": f"compact-ckpt fallback failed: {e!r}"}
     if root is None:
         return {"note": ("no trained checkpoint in this environment "
                          "(run scripts/rehearsal_full_shape.py); decode "
@@ -114,12 +144,20 @@ def _trained_mask_section(batch_size: int = 64, iters: int = 10):
         lut = load_correspondence_lut(os.path.join(
             root, "lmo", "models_GT_color", "Class_CorresPoint000001.txt"))
 
-        dirs = [d for d in os.listdir(best_dir) if d.startswith("step_")]
-        payload = ocp.StandardCheckpointer().restore(
-            os.path.join(best_dir, dirs[0]))
-        variables = jax.tree.map(jnp.asarray, {
-            "params": payload["params"],
-            "batch_stats": payload["batch_stats"]})
+        if npz_variables is not None:
+            variables = jax.tree.map(jnp.asarray, npz_variables)
+            ckpt_desc = (f"compact npz step {npz_meta.get('step')} "
+                         f"best {npz_meta.get('best_score')}")
+        else:
+            dirs = [d for d in os.listdir(best_dir)
+                    if d.startswith("step_")]
+            payload = ocp.StandardCheckpointer().restore(
+                os.path.join(best_dir, dirs[0]))
+            variables = jax.tree.map(jnp.asarray, {
+                "params": payload["params"],
+                "batch_stats": payload["batch_stats"]})
+            ckpt_desc = open(os.path.join(best_dir, "best_score.txt")) \
+                .read().strip()
 
         model = ZebraPoseNet(
             binary_code_length=cfg.number_of_itration,
@@ -165,8 +203,7 @@ def _trained_mask_section(batch_size: int = 64, iters: int = 10):
             "crops_per_sec": round(batch_size / dt, 1),
             "batch": batch_size,
             "solved_frac": round(solved, 3),
-            "ckpt": open(os.path.join(best_dir, "best_score.txt"))
-                .read().strip(),
+            "ckpt": ckpt_desc,
             "note": ("production eval program (model's own mask head "
                      "gates the decode) on real rendered val frames "
                      "with the rehearsal-trained checkpoint")}
@@ -342,11 +379,12 @@ def main():
         "int8_serving": {
             "crops_per_sec": round(int8_result, 1) if int8_result else None,
             "note": ("same full pipeline with conv compute on the int8 "
-                     "MXU path (CLI --int8); accuracy gate: after a "
-                     "500-step --qat fine-tune int8 ADD recall matches "
-                     "bf16 within the 120-frame val set's resolution "
-                     "(+-0.008; 0.7417 vs 0.7417, was 0.717 vs 0.733 "
-                     "pre-QAT; scripts/int8_eval.py, VALIDATION.md)")},
+                     "MXU path (CLI --int8); accuracy gates: post---qat "
+                     "int8-vs-bf16 ADD recall delta at 0.1d spans 0 to "
+                     "-0.033 across three gates at two independently "
+                     "trained ckpts (120-frame val, resolution 0.008; "
+                     "scripts/int8_eval.py, VALIDATION.md round-4 "
+                     "second-gate section)")},
         "trained_mask": _trained_mask_section(),
     }))
 
