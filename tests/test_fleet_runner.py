@@ -128,3 +128,48 @@ def test_run_test_fleet(fleet_tree, tmp_path):
         roi_slice=True)
     assert open(res2["merged_csv"]).read() == \
         open(res["merged_csv"]).read()
+
+
+def test_run_test_fleet_refine_path(fleet_tree, tmp_path, monkeypatch):
+    """cfg.refine on the fleet runner: the fleet program returns each
+    object's own mask heads and refine_poses runs once per object with
+    per-object-length mask stacks (reference refine path test.py:276-313,
+    previously a single-object-only capability)."""
+    import zebrapose_tpu.eval.runner as runner_mod
+
+    ckpts = []
+    for seed, _o in enumerate(OBJS):
+        torch.manual_seed(10 + seed)
+        net = ReferenceNet(variant="v2", code_len=16)
+        p = str(tmp_path / f"ckpt_r{seed}.pth")
+        torch.save({"model_state_dict": net.state_dict()}, p)
+        ckpts.append(p)
+
+    calls = []
+    real = runner_mod.refine_poses
+
+    def recording(dataset, Rs, ts, ok, vis, ent, *a, **kw):
+        calls.append((len(dataset), vis.shape, ent.shape))
+        return real(dataset, Rs, ts, ok, vis, ent, *a, **kw)
+
+    monkeypatch.setattr(runner_mod, "refine_poses", recording)
+
+    cfg = ZebraConfig.from_dict({
+        "bop_path": fleet_tree, "dataset_name": "lmo",
+        "test_folder": "test", "Detection_reaults": "none",
+        "BoundingBox_CropSize_image": 64,
+        "BoundingBox_CropSize_GT": 32,
+        "divide_number_each_itration": 2, "number_of_itration": 16,
+        "refine": True,
+    })
+    out_dir = str(tmp_path / "out_refine")
+    res = run_test_fleet(
+        cfg, ["ape", "cat"], ckpts, out_dir, batch_size=2,
+        pnp_cfg=PnPConfig(n_hypotheses=16, max_points=256))
+
+    # one refine pass per object, masks trimmed to each true length
+    assert [(c[0],) + c[1] for c in calls] == \
+        [(3, 3, 32, 32), (2, 2, 32, 32)]
+    assert set(res["per_object"]) == {"ape", "cat"}
+    merged = open(res["merged_csv"]).read().splitlines()
+    assert len(merged) == 1 + 3 + 2

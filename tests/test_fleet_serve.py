@@ -104,11 +104,38 @@ def test_fleet_serve_mask_from_dataset_matches_single(tmp_path):
     assert np.asarray(out[2][0]).all()  # object 1 actually solves
 
 
+def test_fleet_serve_return_masks_matches_single(tmp_path):
+    """return_masks (the refine path's mask feed) must return each
+    object's visible/entire masks bit-equal to the single-object
+    make_eval_step(return_masks=True)."""
+    (lut1, lut2), feed, bbox, K = _setup(tmp_path)
+    kw = dict(crop_img=128, crop_gt=64, base=2, n_bits=N_BITS,
+              resize_method="crop_square_resize", loss_type="BCE",
+              pnp_cfg=PNP, preprocess_gt=True, return_masks=True)
+    lp, lv = stack_luts([lut1, lut2])
+    fleet_step = make_fleet_eval_step(_gt_oracle_forward, lp, lv, **kw)
+    cat = {kk: jnp.concatenate([v, v]) for kk, v in feed.items()}
+    key = jax.random.PRNGKey(11)
+    variables = stack_variables([{"w": jnp.zeros(1)}, {"w": jnp.zeros(1)}])
+    out = fleet_step(cat, jnp.concatenate([bbox, bbox]),
+                     jnp.concatenate([K, K]), key, variables, n_models=2)
+    assert len(out) == 6
+    assert out[4].shape == (2, 3, 64, 64)  # [K, B, H, W] visible masks
+    for k, lut in enumerate([lut1, lut2]):
+        single = make_eval_step(_gt_oracle_forward, lut, **kw)(
+            feed, bbox, K, jax.random.fold_in(key, k), {})
+        for a, b in zip(out, single):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b))
+    # the oracle's visible mask is a real foreground (not all-zero)
+    assert np.asarray(out[4][0]).sum() > 0
+
+
 def test_fleet_serve_shard_map_path_matches(tmp_path):
     (lut1, lut2), feed, bbox, K = _setup(tmp_path)
     kw = dict(crop_img=128, crop_gt=64, base=2, n_bits=N_BITS,
               resize_method="crop_square_resize", loss_type="BCE",
-              pnp_cfg=PNP, preprocess_gt=True)
+              pnp_cfg=PNP, preprocess_gt=True,
+              return_masks=True)  # 6 outputs: exercises the widened specs
     lp, lv = stack_luts([lut1, lut2])
     cat = {kk: jnp.concatenate([v, v]) for kk, v in feed.items()}
     key = jax.random.PRNGKey(7)

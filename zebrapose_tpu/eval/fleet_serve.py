@@ -63,7 +63,8 @@ def make_fleet_eval_step(forward_fn, lut_points: np.ndarray,
                          preprocess_gt: bool = False,
                          mask_from_dataset: bool = False,
                          mesh: Optional[Mesh] = None,
-                         use_kernel: Optional[bool] = None):
+                         use_kernel: Optional[bool] = None,
+                         return_masks: bool = False):
     """Build the jitted fleet batch program.
 
     step(raw, final_bbox, Ks, key, variables, n_models) -> (R [K,B,3,3],
@@ -76,6 +77,10 @@ def make_fleet_eval_step(forward_fn, lut_points: np.ndarray,
     (threaded through the dataset as batch["mask"]) replaces each
     network's mask head for decode, exactly as the single-object step
     does (reference test_for_mask_rcnn.py:248-251).
+    return_masks: also return (visible [K,B,H,W], entire [K,B,H,W])
+    masks for the host-side contour refinement pass, mirroring
+    make_eval_step's return_masks (reference refine path,
+    test.py:276-313).
     """
     lp = jnp.asarray(lut_points)
     lv = jnp.asarray(lut_valid)
@@ -111,6 +116,13 @@ def make_fleet_eval_step(forward_fn, lut_points: np.ndarray,
         _, poses = jax.lax.scan(
             body, None, (masks, codes, valid, bboxes, Kk, lp_l, lv_l,
                          obj_keys))
+        if return_masks:
+            if mask_from_dataset:
+                entire = (batch["entire_mask"] > 0.5).astype(jnp.float32)
+            else:
+                entire = mask_from_logits(
+                    out.get("entire_mask", out["mask"])[..., 0])
+            return poses + (masks, entire)
         return poses
 
     @partial(jax.jit, static_argnames=("n_models",))
@@ -128,7 +140,7 @@ def make_fleet_eval_step(forward_fn, lut_points: np.ndarray,
         return jax.shard_map(
             local, mesh=mesh,
             in_specs=(spec,) * 7,
-            out_specs=(spec, spec, spec, spec))(
+            out_specs=(spec,) * (6 if return_masks else 4))(
                 raw, final_bbox, Ks, obj_keys, variables, lp, lv)
 
     return step
@@ -138,12 +150,15 @@ FEED_KEYS = ("rgb", "label", "mask", "entire_mask", "roi_param", "valid")
 
 
 def fleet_infer(datasets, fleet_step, variables, batch_size: int,
-                key) -> Tuple[List[np.ndarray], List[np.ndarray],
-                              List[np.ndarray]]:
+                key, collect_masks: bool = False
+                ) -> Tuple[List[np.ndarray], ...]:
     """Drive K per-object datasets through the fleet program in
     lockstep: every batch is ONE dispatch; short datasets pad with
     valid=0 rows (whole zero batches once exhausted). Returns per-object
-    (Rs, ts, ok) numpy arrays of each dataset's true length."""
+    (Rs, ts, ok) numpy arrays of each dataset's true length; with
+    collect_masks (fleet step built with return_masks=True) also
+    per-object (vis_masks, ent_masks) [n, H, W] arrays for the host
+    refinement pass."""
     from zebrapose_tpu.eval.evaluate import _pad_to
 
     k = len(datasets)
@@ -157,6 +172,7 @@ def fleet_infer(datasets, fleet_step, variables, batch_size: int,
     Rs = [np.zeros((n, 3, 3), np.float32) for n in lens]
     ts = [np.zeros((n, 3), np.float32) for n in lens]
     ok = [np.zeros((n,), bool) for n in lens]
+    vis = ent = None
     zero_raw = None
     for start in range(0, n_max, batch_size):
         feeds = []
@@ -177,13 +193,25 @@ def fleet_infer(datasets, fleet_step, variables, batch_size: int,
                          jnp.asarray(cat["K"]),
                          jax.random.fold_in(key, start), variables,
                          n_models=k)
-        R_b, t_b, ok_b, _ = (np.asarray(o) for o in out)
+        R_b, t_b, ok_b = (np.asarray(o) for o in out[:3])
+        if collect_masks:
+            vis_b, ent_b = np.asarray(out[4]), np.asarray(out[5])
+            if vis is None:
+                vis = [np.zeros((n,) + vis_b.shape[2:], np.float32)
+                       for n in lens]
+                ent = [np.zeros((n,) + ent_b.shape[2:], np.float32)
+                       for n in lens]
         for i, n in enumerate(lens):
             m = max(0, min(batch_size, n - start))
             if m:
                 Rs[i][start:start + m] = R_b[i, :m]
                 ts[i][start:start + m] = t_b[i, :m]
                 ok[i][start:start + m] = ok_b[i, :m]
+                if collect_masks:
+                    vis[i][start:start + m] = vis_b[i, :m]
+                    ent[i][start:start + m] = ent_b[i, :m]
+    if collect_masks:
+        return Rs, ts, ok, vis, ent
     return Rs, ts, ok
 
 
@@ -197,18 +225,23 @@ def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
                    mesh: Optional[Mesh] = None,
                    roi_slice: bool = False) -> dict:
     """Evaluate K objects with ONE program (the fleet analog of
-    runner.run_test without refine/debug): per-object BOP datasets
-    advance in lockstep (short datasets pad with valid=0 batches),
-    every step is one fleet_eval_step dispatch, and each object gets
-    the standard artifact set (BOP CSV + ADD metrics) plus one merged
-    submission CSV. mask_rcnn uses each object's detector RLE
-    segmentation instead of its mask head (test_for_mask_rcnn.py)."""
+    runner.run_test without the per-sample debug dumps — use `test`
+    for those): per-object BOP datasets advance in lockstep (short
+    datasets pad with valid=0 batches), every step is one
+    fleet_eval_step dispatch, and each object gets the standard
+    artifact set (BOP CSV + ADD metrics) plus one merged submission
+    CSV. mask_rcnn uses each object's detector RLE segmentation
+    instead of its mask head (test_for_mask_rcnn.py). cfg.refine runs
+    the host contour-refinement pass per object on the fleet program's
+    own mask heads, exactly as run_test (reference test.py:276-313)."""
     from zebrapose_tpu.data.bop_writer import (merge_csv,
                                                parse_sample_ids,
                                                write_csv)
     from zebrapose_tpu.eval.evaluate import pose_errors, summarize
-    from zebrapose_tpu.eval.runner import (load_model_variables,
-                                           prepare_object_eval)
+    from zebrapose_tpu.eval.runner import (dataset_image_hw,
+                                           load_model_variables,
+                                           prepare_object_eval,
+                                           refine_poses)
     from zebrapose_tpu.models.zebra_net import ZebraPoseNet
 
     if len(ckpt_files) != len(obj_names):
@@ -260,16 +293,24 @@ def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
         resize_method=cfg.resize_method,
         loss_type=cfg.BinaryCode_Loss_Type,
         pnp_cfg=pnp_cfg or PnPConfig(), mask_from_dataset=mask_rcnn,
-        mesh=mesh)
+        mesh=mesh, return_masks=cfg.refine)
 
     lens = [len(oe.dataset) for oe in oes]
-    Rs, ts, ok = fleet_infer([oe.dataset for oe in oes], step,
-                             variables, batch_size, jax.random.PRNGKey(0))
+    out = fleet_infer([oe.dataset for oe in oes], step, variables,
+                      batch_size, jax.random.PRNGKey(0),
+                      collect_masks=cfg.refine)
+    Rs, ts, ok = out[:3]
 
     os.makedirs(output_dir, exist_ok=True)
     per_object = {}
     csvs = []
     for i, (name, oe) in enumerate(zip(obj_names, oes)):
+        if cfg.refine and "faces" in oe.mesh and lens[i] > 0:
+            vis, ent = out[3], out[4]
+            refine_poses(oe.dataset, Rs[i], ts[i], ok[i], vis[i], ent[i],
+                         oe.vertices, oe.mesh["faces"].astype(np.int32),
+                         dataset_image_hw(oe.samples, oe.dataset),
+                         cfg.BoundingBox_CropSize_GT)
         for j in range(lens[i]):
             if not ok[i][j]:  # reference: identity R / zero t in CSV
                 Rs[i][j] = np.eye(3)

@@ -140,6 +140,19 @@ def refine_poses(dataset: CropDatasetHost, Rs, ts, ok, vis_masks,
             continue
 
 
+def dataset_image_hw(samples, dataset: CropDatasetHost) -> Tuple[int, int]:
+    """(h, w) of the split's full images, for the refiner's clip bounds.
+    Prefers the global camera file's im_size; otherwise reads the true
+    size off the first image rather than guessing (tless primesense is
+    720x540; a 640x480 guess silently drops right/bottom contour
+    pixels)."""
+    im_size = (samples.cam_param_global or {}).get("im_size")
+    if im_size is None:
+        img0 = cv2.imread(dataset.rgb_files[0])
+        return img0.shape[0], img0.shape[1]
+    return int(im_size[1]), int(im_size[0])
+
+
 class ObjectEval:
     """Everything run_test / run_test_fleet need per object."""
 
@@ -300,19 +313,10 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
         else:
             Rs, ts, ok, vis_masks, ent_masks = out
         if cfg.refine and "faces" in mesh and len(dataset) > 0:
-            im_size = (samples.cam_param_global or {}).get("im_size")
-            if im_size is None:
-                # No global camera file: read the true size off the first
-                # image rather than guessing (tless primesense is 720x540;
-                # a 640x480 guess silently drops right/bottom contour
-                # pixels).
-                img0 = cv2.imread(dataset.rgb_files[0])
-                cam_h, cam_w = img0.shape[:2]
-            else:
-                cam_w, cam_h = int(im_size[0]), int(im_size[1])
             refine_poses(dataset, Rs, ts, ok, vis_masks, ent_masks,
                          vertices, mesh["faces"].astype(np.int32),
-                         (cam_h, cam_w), cfg.BoundingBox_CropSize_GT,
+                         dataset_image_hw(samples, dataset),
+                         cfg.BoundingBox_CropSize_GT,
                          debug_dir=(os.path.join(output_dir, "debug",
                                                  "refine")
                                     if debug else None))
