@@ -13,11 +13,12 @@ reported workload composition should match a trained model's output.
 Prints exactly one JSON line:
   {"metric", "value", "unit", "vs_baseline", ...extras}
 
-vs_baseline: the reference records no throughput number anywhere
-(BASELINE.md) and cannot run here — the denominator is an ESTIMATE
-(20 crops/sec for its GPU path: batch-1 torch forward + per-pixel Python
-decode + CPU Progressive-X RANSAC). Treat "value" (absolute crops/s) as
-the real result; vs_baseline is labeled estimated via baseline_note.
+vs_baseline is null: the reference records no throughput number
+anywhere (BASELINE.md) and cannot run here, so there is nothing
+measured to divide by. "value" (absolute crops/s) is the result; the
+20 crops/s reference-GPU-path guess (batch-1 torch forward + per-pixel
+Python decode + CPU Progressive-X RANSAC) appears only inside the
+clearly-labeled "estimated_baseline" object.
 """
 
 import json
@@ -251,7 +252,7 @@ def main():
     if not _probe_device():
         print(json.dumps({
             "metric": "full_pipeline_crops_per_sec_per_chip", "value": 0,
-            "unit": "crops/s", "vs_baseline": 0,
+            "unit": "crops/s", "vs_baseline": None,
             "error": "device unreachable: a trivial fetch timed out "
                      "(axon tunnel wedged?); see CLAUDE.md",
             "last_measured": {
@@ -364,11 +365,16 @@ def main():
                    "+ decode + EPnP-RANSAC, compact masks)"),
         "value": round(crops_per_sec, 2),
         "unit": "crops/sec/chip",
-        "vs_baseline": round(crops_per_sec /
-                             REFERENCE_CROPS_PER_SEC_ESTIMATE, 2),
-        "baseline_note": ("reference throughput is ESTIMATED at 20 "
-                          "crops/s (not measured; it pins no number and "
-                          "cannot run here)"),
+        # no measured reference baseline exists (it pins no throughput
+        # number and cannot run here) — vs_baseline is therefore null;
+        # the 20 crops/s GPU-path ESTIMATE lives behind the label below
+        "vs_baseline": None,
+        "estimated_baseline": {
+            "reference_crops_per_sec": REFERENCE_CROPS_PER_SEC_ESTIMATE,
+            "estimated_speedup": round(
+                crops_per_sec / REFERENCE_CROPS_PER_SEC_ESTIMATE, 2),
+            "note": ("ESTIMATE, not a measurement: batch-1 torch "
+                     "forward + per-pixel Python decode + CPU RANSAC")},
         "batch": best_b,
         "serving_stream": {
             "crops_per_sec": 57.9,

@@ -86,6 +86,14 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--seeds", type=int, default=10)
     ap.add_argument("--hyp", type=int, default=128)
+    ap.add_argument("--escalate", type=int, default=0,
+                    help="add a variant D: ransac_pnp with the adaptive "
+                         "second stage (escalate_hypotheses=N) — the "
+                         "fixed-shape analog of cv2's adaptive "
+                         "iteration count")
+    ap.add_argument("--grid", default="full", choices=["full", "extreme"],
+                    help="extreme = only the residue rows where cv2 won "
+                         "in the round-4 study (out=0.6, noise>=1.5)")
     args = ap.parse_args()
 
     import jax
@@ -100,10 +108,16 @@ def main():
     grid_n = (50, 300, 2000)
     grid_out = (0.0, 0.2, 0.4, 0.6)
     grid_noise = (0.5, 1.5, 3.0)
+    if args.grid == "extreme":
+        grid_n = (300, 2000)
+        grid_out = (0.6,)
+        grid_noise = (1.5, 3.0)
     P = 2048  # fixed correspondence capacity (pad/subset)
 
     cfg_a = PnPConfig(n_hypotheses=args.hyp, max_points=P)
     cfg_c = PnPConfig(n_hypotheses=args.hyp, max_points=P, lo_top_k=8)
+    cfg_d = PnPConfig(n_hypotheses=args.hyp, max_points=P,
+                      escalate_hypotheses=args.escalate)
 
     @jax.jit
     def ours(p3, p2, w, key):
@@ -115,12 +129,20 @@ def main():
         return ransac_pnp(p3, p2, w, jnp.asarray(K, jnp.float32), key,
                           cfg_c)
 
+    @jax.jit
+    def ours_esc(p3, p2, w, key):
+        return ransac_pnp(p3, p2, w, jnp.asarray(K, jnp.float32), key,
+                          cfg_d)
+
     rows = []
     for n in grid_n:
         for of in grid_out:
             for npx in grid_noise:
-                errs = {"ours": [], "ours_lo": [], "cv2": []}
-                terrs = {"ours": [], "ours_lo": [], "cv2": []}
+                variants = ["ours", "ours_lo", "cv2"]
+                if args.escalate:
+                    variants.insert(2, "ours_esc")
+                errs = {k: [] for k in variants}
+                terrs = {k: [] for k in variants}
                 t_solve = dict.fromkeys(errs, 0.0)
                 for s in range(args.seeds):
                     rng = np.random.default_rng(
@@ -132,8 +154,10 @@ def main():
                     w = np.zeros(P, np.float32)
                     w[:n] = 1
                     key = jax.random.PRNGKey(s)
-                    for name, fn in (("ours", ours),
-                                     ("ours_lo", ours_lo)):
+                    pairs = [("ours", ours), ("ours_lo", ours_lo)]
+                    if args.escalate:
+                        pairs.append(("ours_esc", ours_esc))
+                    for name, fn in pairs:
                         t0 = time.perf_counter()
                         R, t, okf, _ = fn(jnp.asarray(p3p),
                                           jnp.asarray(p2p),
@@ -163,20 +187,27 @@ def main():
                 solved = {k: float(np.mean(np.isfinite(v)))
                           for k, v in errs.items()}
                 rows.append((n, of, npx, med, tmed, solved))
+                esc = (f" esc={med['ours_esc']:.3f}"
+                       if args.escalate else "")
                 print(f"n={n:5d} out={of:.1f} noise={npx:.1f}  "
                       f"Rdeg ours={med['ours']:.3f} "
-                      f"lo={med['ours_lo']:.3f} cv2={med['cv2']:.3f}  "
+                      f"lo={med['ours_lo']:.3f}{esc} "
+                      f"cv2={med['cv2']:.3f}  "
                       f"tmm ours={tmed['ours']:.2f} "
                       f"lo={tmed['ours_lo']:.2f} cv2={tmed['cv2']:.2f}",
                       flush=True)
 
-    lines = ["| N | outliers | noise px | R° ours | R° ours-LO(8) | "
-             "R° cv2 | t mm ours | t mm ours-LO | t mm cv2 |",
-             "|---|---|---|---|---|---|---|---|---|"]
+    esc_h = " R° ours-esc |" if args.escalate else ""
+    esc_s = "---|" if args.escalate else ""
+    lines = ["| N | outliers | noise px | R° ours | R° ours-LO(8) |"
+             + esc_h +
+             " R° cv2 | t mm ours | t mm ours-LO | t mm cv2 |",
+             "|---|---|---|---|---|" + esc_s + "---|---|---|---|"]
     for n, of, npx, med, tmed, solved in rows:
+        esc_c = (f" {med['ours_esc']:.3f} |" if args.escalate else "")
         lines.append(
             f"| {n} | {of:.1f} | {npx:.1f} | {med['ours']:.3f} | "
-            f"{med['ours_lo']:.3f} | {med['cv2']:.3f} | "
+            f"{med['ours_lo']:.3f} |" + esc_c + f" {med['cv2']:.3f} | "
             f"{tmed['ours']:.2f} | {tmed['ours_lo']:.2f} | "
             f"{tmed['cv2']:.2f} |")
     table = "\n".join(lines)

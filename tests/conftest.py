@@ -24,6 +24,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
 
+# Persistent XLA compile cache: the suite's wall time is dominated by
+# CPU-backend compiles (~66 min cold on this 1-core host); warm reruns
+# skip every compile that took >1 s. Same cache dir the scripts use.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/zebrapose_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+except Exception:
+    pass
+
 import pytest  # noqa: E402
 
 # ---------------------------------------------------------------------------

@@ -76,7 +76,12 @@ def test_build_train_setup(tmp_path):
         "training_data_folder_2": "none", "val_folder": "test",
         "BoundingBox_CropSize_image": 64, "BoundingBox_CropSize_GT": 32,
         "divide_number_each_itration": 2, "number_of_itration": 8,
-        "batch_size": 4, "total_iteration": 800, "num_workers": 2,
+        # batch must be a multiple of the 8 virtual mesh devices:
+        # shard_batch's device_put rejects uneven NamedSharding (verified
+        # 2026-08-20 — "global size ... should be divisible by 8"), so
+        # build_train_setup validates it up front; see the companion
+        # test_indivisible_batch_is_a_config_error below.
+        "batch_size": 8, "total_iteration": 800, "num_workers": 2,
     })
     # explicit opt-out of ImageNet weights (no .pth in the test env;
     # "auto" fails loudly by design)
@@ -89,7 +94,7 @@ def test_build_train_setup(tmp_path):
         assert len(res.val_dataset) == 3
         assert res.total_iterations == 100  # 800 // 8 virtual devices
         batch = next(res.train_iter)
-        assert batch["rgb"].shape == (4, 128, 128, 3)
+        assert batch["rgb"].shape == (8, 128, 128, 3)
         assert res.vertices.shape[1] == 3
         # model initialized with the configured code length
         p = res.state.params["aspp"]["conv_1x1_4"]["conv"]["kernel"]
@@ -98,6 +103,29 @@ def test_build_train_setup(tmp_path):
         res.train_iter.close()
         res.ckpt.close()
         res.logger.close()
+
+
+def test_indivisible_batch_is_a_config_error():
+    """shard_batch's device_put rejects a batch axis not divisible by
+    the mesh size; validate_batch_partition turns that into a config
+    message up front, and is exactly that strict — no stricter."""
+    from zebrapose_tpu.parallel.mesh import validate_batch_partition
+    # valid splits return the per-process micro-batch
+    assert validate_batch_partition(8, 1, 8) == 8
+    assert validate_batch_partition(16, 2, 8) == 8
+    assert validate_batch_partition(16, 2, 8, n_processes=2) == 4
+    assert validate_batch_partition(4, 1, 1) == 4  # 1-device mesh: any
+    # batch 4 on 8 devices: the case shard_batch would reject
+    with pytest.raises(ValueError, match="local mesh devices"):
+        validate_batch_partition(4, 1, 8)
+    with pytest.raises(ValueError, match="micro-batch"):
+        validate_batch_partition(8, 2, 8)
+    with pytest.raises(ValueError, match="accum_steps"):
+        validate_batch_partition(8, 3, 8)
+    with pytest.raises(ValueError, match="accum_steps must be"):
+        validate_batch_partition(8, 0, 8)
+    with pytest.raises(ValueError, match="process count"):
+        validate_batch_partition(9, 1, 8, n_processes=2)
 
 
 def test_pretrained_auto_fails_loudly(tmp_path, monkeypatch):

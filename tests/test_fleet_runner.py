@@ -173,3 +173,42 @@ def test_run_test_fleet_refine_path(fleet_tree, tmp_path, monkeypatch):
     assert set(res["per_object"]) == {"ape", "cat"}
     merged = open(res["merged_csv"]).read().splitlines()
     assert len(merged) == 1 + 3 + 2
+
+
+def test_run_test_fleet_debug_dumps(fleet_tree, tmp_path):
+    """debug=True on the fleet runner writes the single-object debug
+    artifact set per object under debug/<obj_name>/ (reference
+    test.py:315-441; run_test --debug parity via the shared
+    dump_debug_set helper)."""
+    ckpts = []
+    for seed, _o in enumerate(OBJS):
+        torch.manual_seed(seed)
+        net = ReferenceNet(variant="v2", code_len=16)
+        p = str(tmp_path / f"ckpt{seed}.pth")
+        torch.save({"model_state_dict": net.state_dict()}, p)
+        ckpts.append(p)
+    cfg = ZebraConfig.from_dict({
+        "bop_path": fleet_tree, "dataset_name": "lmo",
+        "test_folder": "test", "Detection_reaults": "none",
+        "BoundingBox_CropSize_image": 64,
+        "BoundingBox_CropSize_GT": 32,
+        "divide_number_each_itration": 2, "number_of_itration": 16,
+        "refine": False,
+    })
+    out_dir = str(tmp_path / "out_debug")
+    res = run_test_fleet(
+        cfg, ["ape", "cat"], ckpts, out_dir, batch_size=2,
+        pnp_cfg=PnPConfig(n_hypotheses=16, max_points=256),
+        debug=True)
+    assert set(res["per_object"]) == {"ape", "cat"}
+    for name, n in (("ape", 3), ("cat", 2)):
+        dbg = os.path.join(out_dir, "debug", name)
+        assert os.path.isdir(dbg), f"missing debug dir for {name}"
+        for i in range(n):
+            assert os.path.exists(
+                os.path.join(dbg, f"{i:06d}_mask.png"))
+            assert os.path.exists(
+                os.path.join(dbg, f"{i:06d}_code_err.png"))
+        # GT poses exist in the fixture -> gt overlays render
+        assert os.path.exists(
+            os.path.join(dbg, "000000_pose_gt.png"))

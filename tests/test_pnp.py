@@ -327,3 +327,64 @@ def test_prepare_onehot_extraction_is_exact_gather():
                                   np.asarray(sub2d)[np.asarray(idx)])
     # every sampled point is foreground (weight > 0) when any exists
     assert float(jnp.min(sub_w[idx] > 0)) == 1.0
+
+
+def test_ransac_escalation_recovers_weak_first_round():
+    """Adaptive second stage (PnPConfig.escalate_hypotheses): on an
+    extreme regime (60% outliers) a tiny first round (H=8) often lands
+    a weak consensus; escalation to H=256 must recover the pose — the
+    fixed-shape equivalent of cv2's adaptive iteration count
+    (CNN_output_to_pose.py:154-159). Also: a strong first round must
+    return bit-identical results with escalation configured (the
+    lax.cond untaken branch changes nothing)."""
+    rng = np.random.default_rng(77)
+    n, P = 120, 128
+    pts = _object_points(rng, n)
+    R, t = _random_pose(rng)
+    uv = np.array(project_points(jnp.asarray(pts), jnp.asarray(R),
+                                 jnp.asarray(t), jnp.asarray(K)))
+    uv += rng.normal(scale=0.5, size=uv.shape)
+    n_out = int(0.6 * n)
+    out_idx = rng.choice(n, n_out, replace=False)
+    uv[out_idx] = rng.uniform(0, 640, size=(n_out, 2))
+    p3 = np.zeros((P, 3), np.float32)
+    p2 = np.zeros((P, 2), np.float32)
+    w = np.zeros(P, np.float32)
+    p3[:n], p2[:n], w[:n] = pts, uv.astype(np.float32), 1
+
+    base = dict(n_hypotheses=8, max_points=P, sample_size=5)
+    cfg0 = PnPConfig(**base)
+    cfg1 = PnPConfig(**base, escalate_hypotheses=256)
+    args = (jnp.asarray(p3), jnp.asarray(p2), jnp.asarray(w),
+            jnp.asarray(K))
+    # find a key where the small first round is weak (it usually is:
+    # 0.4^5 clean-sample odds ~1% per draw)
+    weak_seen = False
+    for seed in range(6):
+        key = jax.random.PRNGKey(seed)
+        R0, t0, ok0, n0 = ransac_pnp(*args, key, cfg0)
+        R1, t1, ok1, n1 = ransac_pnp(*args, key, cfg1)
+        assert int(n1) >= int(n0)       # escalation never loses support
+        if not bool(ok0) or int(n0) < 0.4 * n:
+            weak_seen = True
+            # escalated run must nail the pose
+            assert bool(ok1)
+            assert _rot_err_deg(np.asarray(R1), R) < 2.0
+            break
+    assert weak_seen, "no weak first round in 6 seeds; raise outliers"
+
+    # strong consensus: 10% outliers at H=64 -> escalation not taken
+    uv2 = np.array(project_points(jnp.asarray(pts), jnp.asarray(R),
+                                  jnp.asarray(t), jnp.asarray(K)))
+    uv2 += rng.normal(scale=0.3, size=uv2.shape)
+    p2s = np.zeros((P, 2), np.float32)
+    p2s[:n] = uv2.astype(np.float32)
+    strong = dict(n_hypotheses=64, max_points=P, sample_size=5)
+    a2 = (jnp.asarray(p3), jnp.asarray(p2s), jnp.asarray(w),
+          jnp.asarray(K), jax.random.PRNGKey(2))
+    Ra, ta, oka, na = ransac_pnp(*a2, PnPConfig(**strong))
+    Rb, tb, okb, nb = ransac_pnp(
+        *a2, PnPConfig(**strong, escalate_hypotheses=256))
+    assert bool(oka) and int(na) == int(nb)
+    np.testing.assert_array_equal(np.asarray(Ra), np.asarray(Rb))
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(tb))

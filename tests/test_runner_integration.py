@@ -109,6 +109,21 @@ def test_run_test_with_torch_checkpoint(bop_tree, tmp_path):
     # untrained net: metrics exist and are finite-ish
     assert 0.0 <= metrics["ADD_recall_0.1d"] <= 1.0
 
+    # the native BOP19 scorer must consume run_test's OWN CSV — this is
+    # the writer->scorer schema-compatibility gate (the reference stops
+    # at write_to_cvs.py:6-62 and defers to external bop_toolkit; our
+    # score-bop closes that loop, so drift between bop_writer.write_csv
+    # and bop_score.read_csv must fail here, not in the field)
+    from zebrapose_tpu.eval.bop_score import score_csv
+    res = score_csv(os.path.join(out_dir, "pose_result_bop",
+                                 "lmo_ape.csv"),
+                    bop_path, "lmo", split="test")
+    assert res["n_targets"] == 3  # all GT instances visib_fract > 0.1
+    for k in ("AR", "AR_mssd", "AR_mspd"):
+        assert 0.0 <= res[k] <= 1.0
+    assert "AR_vsd" not in res  # no depth images in the fixture
+    assert "1" in res["per_object"] or 1 in res["per_object"]
+
 
 def test_run_vivo_gtless_challenge_split(bop_tree, tmp_path):
     """Vivo on a GT-LESS split (BOP-challenge shape): the image walk must

@@ -25,6 +25,26 @@ def _add_common(p):
     p.add_argument("--obj_name", required=True)
 
 
+def _add_pnp_flags(p):
+    p.add_argument("--escalate_h", type=int, default=0,
+                   help="adaptive RANSAC second stage: redraw with THIS "
+                        "many hypotheses when a frame's inlier fraction "
+                        "is weak (cv2's adaptive iteration count, fixed-"
+                        "shape; 0 = off, 256 recommended for high-"
+                        "outlier regimes — PERF.md ProgX-gap study)")
+    p.add_argument("--escalate_frac", type=float, default=0.4,
+                   help="inlier fraction below which the second RANSAC "
+                        "stage triggers (with --escalate_h > 0)")
+
+
+def _pnp_cfg_from_args(args, **kw):
+    from zebrapose_tpu.ops.pnp import PnPConfig
+    if getattr(args, "escalate_h", 0):
+        kw["escalate_hypotheses"] = args.escalate_h
+        kw["escalate_inlier_frac"] = args.escalate_frac
+    return PnPConfig(**kw)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="zebrapose_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -137,6 +157,7 @@ def main(argv=None):
                              "less host->device traffic)")
     p_test.add_argument("--profile", default=None,
                         help="write a JAX profiler trace to this dir")
+    _add_pnp_flags(p_test)
 
     p_vis = sub.add_parser(
         "visualize",
@@ -179,6 +200,11 @@ def main(argv=None):
                       help="ship only each frame's clamped square-bbox "
                            "bytes (fleet-wide shared buffer; bit-exact "
                            "crops, less host->device traffic)")
+    p_tf.add_argument("--debug", action="store_true",
+                      help="write the full per-sample debug artifact "
+                           "set under debug/<obj_name>/ (reference "
+                           "test.py:315-441), as `test --debug` does")
+    _add_pnp_flags(p_tf)
 
     p_vf = sub.add_parser(
         "vivo-fleet",
@@ -202,6 +228,7 @@ def main(argv=None):
                       help="ship only each frame's clamped square-bbox "
                            "bytes (fleet-wide shared buffer; bit-exact "
                            "crops, less host->device traffic)")
+    _add_pnp_flags(p_vf)
 
     p_vivo = sub.add_parser("vivo",
                             help="multi-instance eval (test_vivo)")
@@ -220,6 +247,7 @@ def main(argv=None):
                         help="ship only each frame's clamped square-bbox "
                              "bytes to the device (bit-exact crops, 2-3x "
                              "less host->device traffic)")
+    _add_pnp_flags(p_vivo)
 
     p_mesh = sub.add_parser("generate-mesh-code",
                             help="hierarchical surface encoding of a mesh")
@@ -683,7 +711,8 @@ def main(argv=None):
                 variant=args.variant,
                 score_threshold=args.score_threshold,
                 batch_size=args.batch_size, int8=args.int8,
-                mask_rcnn=args.mask_rcnn, roi_slice=args.roi_slice)
+                mask_rcnn=args.mask_rcnn, roi_slice=args.roi_slice,
+                pnp_cfg=_pnp_cfg_from_args(args))
             print(json.dumps(res, indent=2))
         return 0
 
@@ -701,7 +730,9 @@ def main(argv=None):
                 cfg, args.obj_names, args.ckpt_files, run_dir,
                 variant=args.variant, batch_size=args.batch_size,
                 int8=args.int8, max_samples=args.max_samples,
-                mask_rcnn=args.mask_rcnn, roi_slice=args.roi_slice)
+                mask_rcnn=args.mask_rcnn, roi_slice=args.roi_slice,
+                debug=args.debug,
+                pnp_cfg=_pnp_cfg_from_args(args))
             print(json.dumps(res, indent=2))
         return 0
 
@@ -749,7 +780,8 @@ def main(argv=None):
                         debug=args.debug, batch_size=args.batch_size,
                         max_samples=args.max_samples,
                         mask_rcnn=args.mask_rcnn,
-                        int8=args.int8, roi_slice=args.roi_slice)
+                        int8=args.int8, roi_slice=args.roi_slice,
+                        pnp_cfg=_pnp_cfg_from_args(args))
             else:
                 from zebrapose_tpu.eval.runner_vivo import run_vivo
                 metrics = run_vivo(
@@ -758,7 +790,8 @@ def main(argv=None):
                     score_threshold=args.score_threshold,
                     batch_size=args.batch_size,
                     mask_rcnn=args.mask_rcnn, int8=args.int8,
-                    roi_slice=args.roi_slice)
+                    roi_slice=args.roi_slice,
+                    pnp_cfg=_pnp_cfg_from_args(args))
             print(json.dumps(metrics, indent=2))
         return 0
 

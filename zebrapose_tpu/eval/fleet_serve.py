@@ -64,7 +64,8 @@ def make_fleet_eval_step(forward_fn, lut_points: np.ndarray,
                          mask_from_dataset: bool = False,
                          mesh: Optional[Mesh] = None,
                          use_kernel: Optional[bool] = None,
-                         return_masks: bool = False):
+                         return_masks: bool = False,
+                         return_codes: bool = False):
     """Build the jitted fleet batch program.
 
     step(raw, final_bbox, Ks, key, variables, n_models) -> (R [K,B,3,3],
@@ -81,6 +82,9 @@ def make_fleet_eval_step(forward_fn, lut_points: np.ndarray,
     masks for the host-side contour refinement pass, mirroring
     make_eval_step's return_masks (reference refine path,
     test.py:276-313).
+    return_codes: also return the hard code planes [K,B,H,W,n] for the
+    per-sample debug artifact dumps (reference --debug,
+    test.py:315-441).
     """
     lp = jnp.asarray(lut_points)
     lv = jnp.asarray(lut_valid)
@@ -116,14 +120,17 @@ def make_fleet_eval_step(forward_fn, lut_points: np.ndarray,
         _, poses = jax.lax.scan(
             body, None, (masks, codes, valid, bboxes, Kk, lp_l, lv_l,
                          obj_keys))
+        result = poses
         if return_masks:
             if mask_from_dataset:
                 entire = (batch["entire_mask"] > 0.5).astype(jnp.float32)
             else:
                 entire = mask_from_logits(
                     out.get("entire_mask", out["mask"])[..., 0])
-            return poses + (masks, entire)
-        return poses
+            result = result + (masks, entire)
+        if return_codes:
+            result = result + (codes,)
+        return result
 
     @partial(jax.jit, static_argnames=("n_models",))
     def step(raw, final_bbox, Ks, key, variables, n_models: int):
@@ -137,10 +144,12 @@ def make_fleet_eval_step(forward_fn, lut_points: np.ndarray,
                 f"{mesh.devices.size}; serve K%D==0 objects or pass a "
                 "sub-mesh")
         spec = P(MODEL_AXIS)
+        n_out = 4 + (2 if return_masks else 0) + (1 if return_codes
+                                                  else 0)
         return jax.shard_map(
             local, mesh=mesh,
             in_specs=(spec,) * 7,
-            out_specs=(spec,) * (6 if return_masks else 4))(
+            out_specs=(spec,) * n_out)(
                 raw, final_bbox, Ks, obj_keys, variables, lp, lv)
 
     return step
@@ -150,7 +159,8 @@ FEED_KEYS = ("rgb", "label", "mask", "entire_mask", "roi_param", "valid")
 
 
 def fleet_infer(datasets, fleet_step, variables, batch_size: int,
-                key, collect_masks: bool = False
+                key, collect_masks: bool = False,
+                collect_codes: bool = False
                 ) -> Tuple[List[np.ndarray], ...]:
     """Drive K per-object datasets through the fleet program in
     lockstep: every batch is ONE dispatch; short datasets pad with
@@ -158,7 +168,12 @@ def fleet_infer(datasets, fleet_step, variables, batch_size: int,
     (Rs, ts, ok) numpy arrays of each dataset's true length; with
     collect_masks (fleet step built with return_masks=True) also
     per-object (vis_masks, ent_masks) [n, H, W] arrays for the host
-    refinement pass."""
+    refinement pass; with collect_codes (step built with
+    return_codes=True) also per-object code planes [n, H, W, bits] for
+    the debug artifact dumps. collect_codes requires collect_masks
+    (debug always needs the mask panel too)."""
+    if collect_codes and not collect_masks:
+        raise ValueError("collect_codes requires collect_masks")
     from zebrapose_tpu.eval.evaluate import _pad_to
 
     k = len(datasets)
@@ -172,7 +187,7 @@ def fleet_infer(datasets, fleet_step, variables, batch_size: int,
     Rs = [np.zeros((n, 3, 3), np.float32) for n in lens]
     ts = [np.zeros((n, 3), np.float32) for n in lens]
     ok = [np.zeros((n,), bool) for n in lens]
-    vis = ent = None
+    vis = ent = codes = None
     zero_raw = None
     for start in range(0, n_max, batch_size):
         feeds = []
@@ -195,12 +210,23 @@ def fleet_infer(datasets, fleet_step, variables, batch_size: int,
                          n_models=k)
         R_b, t_b, ok_b = (np.asarray(o) for o in out[:3])
         if collect_masks:
+            need = 7 if collect_codes else 6
+            if len(out) < need:
+                raise ValueError(
+                    "collect_masks/collect_codes require a fleet step "
+                    "built with return_masks=True (and return_codes="
+                    "True for codes)")
             vis_b, ent_b = np.asarray(out[4]), np.asarray(out[5])
+            if collect_codes:
+                code_b = np.asarray(out[6])
             if vis is None:
                 vis = [np.zeros((n,) + vis_b.shape[2:], np.float32)
                        for n in lens]
                 ent = [np.zeros((n,) + ent_b.shape[2:], np.float32)
                        for n in lens]
+                if collect_codes:
+                    codes = [np.zeros((n,) + code_b.shape[2:],
+                                      np.float32) for n in lens]
         for i, n in enumerate(lens):
             m = max(0, min(batch_size, n - start))
             if m:
@@ -210,6 +236,10 @@ def fleet_infer(datasets, fleet_step, variables, batch_size: int,
                 if collect_masks:
                     vis[i][start:start + m] = vis_b[i, :m]
                     ent[i][start:start + m] = ent_b[i, :m]
+                    if collect_codes:
+                        codes[i][start:start + m] = code_b[i, :m]
+    if collect_codes:
+        return Rs, ts, ok, vis, ent, codes
     if collect_masks:
         return Rs, ts, ok, vis, ent
     return Rs, ts, ok
@@ -223,7 +253,8 @@ def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
                    max_samples: Optional[int] = None,
                    mask_rcnn: bool = False,
                    mesh: Optional[Mesh] = None,
-                   roi_slice: bool = False) -> dict:
+                   roi_slice: bool = False,
+                   debug: bool = False) -> dict:
     """Evaluate K objects with ONE program (the fleet analog of
     runner.run_test without the per-sample debug dumps — use `test`
     for those): per-object BOP datasets advance in lockstep (short
@@ -233,7 +264,13 @@ def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
     CSV. mask_rcnn uses each object's detector RLE segmentation
     instead of its mask head (test_for_mask_rcnn.py). cfg.refine runs
     the host contour-refinement pass per object on the fleet program's
-    own mask heads, exactly as run_test (reference test.py:276-313)."""
+    own mask heads, exactly as run_test (reference test.py:276-313);
+    when combined with mask_rcnn the refine masks come from the
+    detector RLE / dataset entire mask instead, matching the
+    reference's test_for_mask_rcnn.py behavior. debug writes the full
+    per-sample artifact set (mask panel, code-error grids, pose
+    overlays — reference test.py:315-441) under debug/<obj_name>/,
+    exactly as run_test --debug does for one object."""
     from zebrapose_tpu.data.bop_writer import (merge_csv,
                                                parse_sample_ids,
                                                write_csv)
@@ -293,12 +330,14 @@ def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
         resize_method=cfg.resize_method,
         loss_type=cfg.BinaryCode_Loss_Type,
         pnp_cfg=pnp_cfg or PnPConfig(), mask_from_dataset=mask_rcnn,
-        mesh=mesh, return_masks=cfg.refine)
+        mesh=mesh, return_masks=cfg.refine or debug,
+        return_codes=debug)
 
     lens = [len(oe.dataset) for oe in oes]
     out = fleet_infer([oe.dataset for oe in oes], step, variables,
                       batch_size, jax.random.PRNGKey(0),
-                      collect_masks=cfg.refine)
+                      collect_masks=cfg.refine or debug,
+                      collect_codes=debug)
     Rs, ts, ok = out[:3]
 
     os.makedirs(output_dir, exist_ok=True)
@@ -310,7 +349,15 @@ def run_test_fleet(cfg, obj_names: List[str], ckpt_files: List[str],
             refine_poses(oe.dataset, Rs[i], ts[i], ok[i], vis[i], ent[i],
                          oe.vertices, oe.mesh["faces"].astype(np.int32),
                          dataset_image_hw(oe.samples, oe.dataset),
-                         cfg.BoundingBox_CropSize_GT)
+                         cfg.BoundingBox_CropSize_GT,
+                         debug_dir=(os.path.join(output_dir, "debug",
+                                                 name, "refine")
+                                    if debug else None))
+        if debug:
+            from zebrapose_tpu.eval.runner import dump_debug_set
+            dump_debug_set(os.path.join(output_dir, "debug", name),
+                           cfg, oe.dataset, oe.mesh, oe.vertices,
+                           out[3][i], out[5][i], Rs[i], ts[i], ok[i])
         for j in range(lens[i]):
             if not ok[i][j]:  # reference: identity R / zero t in CSV
                 Rs[i][j] = np.eye(3)

@@ -39,6 +39,12 @@ def load_model_variables(ckpt_file: str, model: ZebraPoseNet,
     import jax
     import jax.numpy as jnp
 
+    if ckpt_file.endswith(".npz"):
+        # committed compact checkpoint (utils/compact_ckpt.py): bf16-
+        # stored params+batch_stats, forward-bit-exact for bf16 models
+        from zebrapose_tpu.utils.compact_ckpt import load_compact
+        variables, _ = load_compact(ckpt_file)
+        return variables
     if ckpt_file.endswith((".pth", ".pt")):
         import torch
         from zebrapose_tpu.models.convert_torch import (
@@ -252,6 +258,43 @@ def prepare_object_eval(cfg: ZebraConfig, obj_name: str,
         is_symmetric(cfg.dataset_name, obj_name), samples)
 
 
+def dump_debug_set(dbg_dir: str, cfg, dataset, mesh, vertices,
+                   vis_masks, pred_codes, Rs, ts, ok,
+                   max_samples: int = 16) -> None:
+    """Full debug artifact set per sample (reference test.py:315-441):
+    pred/GT mask panel, per-bit code-error grid, predicted + GT pose
+    silhouette overlays on the crop. Shared by run_test --debug and
+    run_test_fleet --debug (per-object subdirs)."""
+    from zebrapose_tpu.codec.surface_code import (class_id_to_code,
+                                                  rgb_to_class_id)
+    from zebrapose_tpu.utils.visualize import dump_debug_sample, host_crop
+    os.makedirs(dbg_dir, exist_ok=True)
+    faces = mesh.get("faces")
+    n_code_bits = pred_codes.shape[-1]
+    for i in range(min(len(dataset), max_samples)):
+        raw = dataset.get_raw(i)
+        fb = raw["final_bbox"]
+        sz = cfg.BoundingBox_CropSize_GT
+        crop_bgr = host_crop(raw["rgb"], fb, sz)
+        gt_mask = host_crop(raw["mask"], fb, sz,
+                            nearest=True).astype(np.float32) / 255.0
+        label_crop = host_crop(raw["label"], fb, sz, nearest=True)
+        gt_code = np.asarray(class_id_to_code(
+            rgb_to_class_id(label_crop.astype(np.int32)),
+            base=cfg.divide_number_each_itration,
+            n_digits=cfg.number_of_itration))[..., :n_code_bits]
+        has_gt = dataset.gts[i] is not None
+        dump_debug_sample(
+            dbg_dir, i, crop_bgr, vis_masks[i], gt_mask,
+            pred_codes[i], gt_code,
+            vertices,
+            faces.astype(np.int32) if faces is not None else None,
+            raw["K"].astype(np.float64), Rs[i], ts[i], fb,
+            R_gt=raw["R"] if has_gt else None,
+            t_gt=raw["t"] if has_gt else None,
+            render_pred=bool(ok[i]))
+
+
 def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
              output_dir: str, ignore_bit: int = 0, variant: str = "v2",
              debug: bool = False, batch_size: int = 16,
@@ -337,39 +380,9 @@ def run_test(cfg: ZebraConfig, obj_name: str, ckpt_file: str,
                   [t.reshape(3, 1) for t in ts],
                   scores if scores is not None else [1.0] * len(dataset))
         if debug:
-            # Full debug artifact set per sample (reference
-            # test.py:315-441): pred/GT mask panel, per-bit code-error
-            # grid, predicted + GT pose silhouette overlays on the crop.
-            from zebrapose_tpu.codec.surface_code import (class_id_to_code,
-                                                          rgb_to_class_id)
-            from zebrapose_tpu.utils.visualize import (dump_debug_sample,
-                                                       host_crop)
-            dbg = os.path.join(output_dir, "debug")
-            os.makedirs(dbg, exist_ok=True)
-            faces = mesh.get("faces")
-            n_code_bits = pred_codes.shape[-1]
-            for i in range(min(len(dataset), 16)):
-                raw = dataset.get_raw(i)
-                fb = raw["final_bbox"]
-                sz = cfg.BoundingBox_CropSize_GT
-                crop_bgr = host_crop(raw["rgb"], fb, sz)
-                gt_mask = host_crop(raw["mask"], fb, sz,
-                                    nearest=True).astype(np.float32) / 255.0
-                label_crop = host_crop(raw["label"], fb, sz, nearest=True)
-                gt_code = np.asarray(class_id_to_code(
-                    rgb_to_class_id(label_crop.astype(np.int32)),
-                    base=cfg.divide_number_each_itration,
-                    n_digits=cfg.number_of_itration))[..., :n_code_bits]
-                has_gt = dataset.gts[i] is not None
-                dump_debug_sample(
-                    dbg, i, crop_bgr, vis_masks[i], gt_mask,
-                    pred_codes[i], gt_code,
-                    vertices,
-                    faces.astype(np.int32) if faces is not None else None,
-                    raw["K"].astype(np.float64), Rs[i], ts[i], fb,
-                    R_gt=raw["R"] if has_gt else None,
-                    t_gt=raw["t"] if has_gt else None,
-                    render_pred=bool(ok[i]))
+            dump_debug_set(os.path.join(output_dir, "debug"), cfg,
+                           dataset, mesh, vertices, vis_masks,
+                           pred_codes, Rs, ts, ok)
         result_metrics = metrics
     else:
         res = evaluate_object(

@@ -76,6 +76,26 @@ class PnPConfig:
     #                             worse on 0.5px-noisy minimal sets
     #                             [R err median .44 vs .013], so NOT the
     #                             default; see dlt_p6p)
+    escalate_hypotheses: int = 0   # adaptive second stage: when the
+    #                             first round's consensus is weak
+    #                             (inlier fraction < escalate_inlier_
+    #                             frac), redraw and re-solve with THIS
+    #                             many hypotheses and keep the better
+    #                             result. 0 = off. The reference's cv2
+    #                             path adapts its iteration count to
+    #                             the observed inlier ratio
+    #                             (CNN_output_to_pose.py:154-159); this
+    #                             is the fixed-shape equivalent: both
+    #                             rounds compile once, the second runs
+    #                             under lax.cond only when some
+    #                             instance needs it. The ProgX-gap
+    #                             study showed H=256 closes the
+    #                             extreme-regime residue (60% outliers,
+    #                             >=1.5 px noise) that H=128 leaves
+    #                             open (PERF.md).
+    escalate_inlier_frac: float = 0.4  # trigger threshold: escalate
+    #                             when n_inliers < frac * n_fg (or the
+    #                             solve failed outright)
     lo_top_k: int = 1           # LO-RANSAC width: run the refit+polish
     #                             local optimization on the top-k
     #                             hypotheses by inlier count and keep the
@@ -541,15 +561,27 @@ def _ransac_prepare(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
         sub3d, sub2d, sub_w = pts3d, pts2d, w
     Q = sub3d.shape[0]
 
-    # Inverse-CDF sampling of foreground indices (uniform over w>0, with
-    # replacement — the same distribution as categorical over {0, -inf}
-    # logits, but H*S uniforms + a compare-all search instead of H*S*Q
-    # gumbels: categorical was ~10 ms/b128 on v5e, this is <1 ms).
+    samp3d, samp2d = _draw_minimal_samples(sub3d, sub2d, sub_w, key,
+                                           cfg, cfg.n_hypotheses)
+    return sub3d, sub2d, sub_w, samp3d, samp2d, n_fg
+
+
+def _draw_minimal_samples(sub3d, sub2d, sub_w, key: jax.Array,
+                          cfg: PnPConfig, n_hyp: int):
+    """Draw n_hyp minimal sets from the foreground of the (subset)
+    correspondences. Returns (samp3d [n_hyp,S,3], samp2d [n_hyp,S,2]).
+
+    Inverse-CDF sampling of foreground indices (uniform over w>0, with
+    replacement — the same distribution as categorical over {0, -inf}
+    logits, but H*S uniforms + a compare-all search instead of H*S*Q
+    gumbels: categorical was ~10 ms/b128 on v5e, this is <1 ms).
+    """
+    Q = sub3d.shape[0]
     cdf = jnp.cumsum((sub_w > 0).astype(jnp.float32))
-    u = jax.random.uniform(key, (cfg.n_hypotheses, cfg.sample_size),
+    u = jax.random.uniform(key, (n_hyp, cfg.sample_size),
                            maxval=jnp.maximum(cdf[-1], 1.0))
     idx = jnp.searchsorted(cdf, u, side="right", method="compare_all")
-    # degenerate empty mask -> arbitrary index; guarded below (min_points)
+    # degenerate empty mask -> arbitrary index; guarded by min_points
     idx = jnp.clip(idx, 0, Q - 1)
     if cfg.sample_size < 6:
         # Pad each minimal set to the Pallas kernel's fixed width 6 by
@@ -569,10 +601,10 @@ def _ransac_prepare(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
     s_eff = max(cfg.sample_size, 6)
     oh_s = jax.nn.one_hot(idx.reshape(-1), Q, dtype=sub3d.dtype)
     samp3d = jnp.dot(oh_s, sub3d, precision=_HI).reshape(
-        cfg.n_hypotheses, s_eff, 3)
+        n_hyp, s_eff, 3)
     samp2d = jnp.dot(oh_s, sub2d, precision=_HI).reshape(
-        cfg.n_hypotheses, s_eff, 2)
-    return sub3d, sub2d, sub_w, samp3d, samp2d, n_fg
+        n_hyp, s_eff, 2)
+    return samp3d, samp2d
 
 
 def _solve_hypotheses(samp3d, samp2d, K, cfg: PnPConfig):
@@ -681,7 +713,35 @@ def ransac_pnp(pts3d: jnp.ndarray, pts2d: jnp.ndarray, w: jnp.ndarray,
     sub3d, sub2d, sub_w, samp3d, samp2d, n_fg = _ransac_prepare(
         pts3d, pts2d, w, key, cfg)
     Rs, ts = _solve_hypotheses(samp3d, samp2d, K, cfg)
-    return _ransac_finish(sub3d, sub2d, sub_w, Rs, ts, K, n_fg, cfg)
+    res = _ransac_finish(sub3d, sub2d, sub_w, Rs, ts, K, n_fg, cfg)
+    if cfg.escalate_hypotheses <= 0:
+        return res
+    R1, t1, ok1, n_in1 = res
+
+    def stage2(_):
+        samp3d2, samp2d2 = _draw_minimal_samples(
+            sub3d, sub2d, sub_w, jax.random.fold_in(key, 7), cfg,
+            cfg.escalate_hypotheses)
+        Rs2, ts2 = _solve_hypotheses(samp3d2, samp2d2, K, cfg)
+        R2, t2, ok2, n_in2 = _ransac_finish(
+            sub3d, sub2d, sub_w, Rs2, ts2, K, n_fg, cfg)
+        better = n_in2 > n_in1
+        return (jnp.where(better, R2, R1), jnp.where(better, t2, t1),
+                jnp.where(better, ok2, ok1),
+                jnp.where(better, n_in2, n_in1))
+
+    needs = _escalation_needed(ok1, n_in1, n_fg, cfg)
+    return jax.lax.cond(needs, stage2, lambda _: res, None)
+
+
+def _escalation_needed(ok, n_in, n_fg, cfg: PnPConfig):
+    """Weak consensus gate for the adaptive second stage: the first
+    round either failed despite enough correspondences, or its inlier
+    support is below escalate_inlier_frac of the foreground."""
+    enough = n_fg >= cfg.min_points
+    weak = n_in.astype(jnp.float32) < (cfg.escalate_inlier_frac *
+                                       n_fg.astype(jnp.float32))
+    return enough & (weak | ~ok)
 
 
 # ---------------------------------------------------------------------------
@@ -788,5 +848,45 @@ def decode_to_pose_batch(masks: jnp.ndarray, codes: jnp.ndarray,
         Rs = Rs.reshape(B, H, 3, 3)
         ts = ts.reshape(B, H, 3)
 
-    return jax.vmap(lambda a, b, c, d, e, f, g: _ransac_finish(
+    res = jax.vmap(lambda a, b, c, d, e, f, g: _ransac_finish(
         a, b, c, d, e, f, g, cfg))(sub3d, sub2d, sub_w, Rs, ts, Ks, n_fg)
+    if cfg.escalate_hypotheses <= 0:
+        return res
+    R1, t1, ok1, n_in1 = res
+    needs = jax.vmap(lambda o, ni, nf: _escalation_needed(o, ni, nf,
+                                                          cfg))(
+        ok1, n_in1, n_fg)
+
+    def stage2(_):
+        # one fixed-shape second round for the WHOLE batch (instances
+        # that don't need it keep their round-1 result in the merge);
+        # the lax.cond skips all of it when no instance is weak
+        H2 = cfg.escalate_hypotheses
+        samp3d2, samp2d2 = jax.vmap(
+            lambda a, b, c, k: _draw_minimal_samples(
+                a, b, c, jax.random.fold_in(k, 7), cfg, H2))(
+            sub3d, sub2d, sub_w, keys)
+        s_eff2 = samp3d2.shape[2]
+        if cfg.hyp_solver == "dlt":
+            Rs2, ts2 = jax.vmap(lambda a, b, Km: jax.vmap(
+                lambda x, y: dlt_p6p(x, y, Km, cfg.fast_linalg))(a, b))(
+                samp3d2, samp2d2, Ks)
+        else:
+            Rs2, ts2 = minimal_epnp_hypotheses(
+                samp3d2.reshape(B * H2, s_eff2, 3),
+                samp2d2.reshape(B * H2, s_eff2, 2),
+                jnp.repeat(Ks, H2, axis=0), cfg.gn_iters,
+                use_kernel=use_kernel, fast=cfg.fast_linalg)
+            Rs2 = Rs2.reshape(B, H2, 3, 3)
+            ts2 = ts2.reshape(B, H2, 3)
+        R2, t2, ok2, n_in2 = jax.vmap(
+            lambda a, b, c, d, e, f, g: _ransac_finish(
+                a, b, c, d, e, f, g, cfg))(
+            sub3d, sub2d, sub_w, Rs2, ts2, Ks, n_fg)
+        better = needs & (n_in2 > n_in1)
+        return (jnp.where(better[:, None, None], R2, R1),
+                jnp.where(better[:, None], t2, t1),
+                jnp.where(better, ok2, ok1),
+                jnp.where(better, n_in2, n_in1))
+
+    return jax.lax.cond(jnp.any(needs), stage2, lambda _: res, None)

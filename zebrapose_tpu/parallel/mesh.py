@@ -75,6 +75,40 @@ def local_batch_size(global_batch: int, n_processes: Optional[int] = None
     return global_batch // n
 
 
+def validate_batch_partition(global_batch: int, accum_steps: int,
+                             world: int,
+                             n_processes: Optional[int] = None) -> int:
+    """Validate that `global_batch` splits into shardable micro-batches
+    and return the per-process micro-batch size.
+
+    Exactly as strict as the mechanism it guards: shard_batch's
+    device_put rejects a batch dimension not divisible by the mesh size
+    ("global size of its dimension 0 should be divisible by N",
+    verified 2026-08-20), and make_array_from_process_local_data needs
+    exact per-process shards. Raises a config-level ValueError instead
+    of letting the first sharded step fail with the GSPMD message.
+    """
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+    local = local_batch_size(global_batch, n_processes)
+    if local % accum_steps:
+        raise ValueError(
+            f"local batch {local} not divisible by accum_steps "
+            f"{accum_steps}; cfg.batch_size is the EFFECTIVE batch and "
+            f"must split evenly into micro-batches")
+    local //= accum_steps
+    n = jax.process_count() if n_processes is None else n_processes
+    local_devices = max(world // max(n, 1), 1)
+    if local % local_devices:
+        raise ValueError(
+            f"micro-batch {local} per process (batch_size "
+            f"{global_batch} / accum_steps {accum_steps} / "
+            f"{n} processes) not divisible by the "
+            f"{local_devices} local mesh devices; batch_size must be a "
+            f"multiple of accum_steps * total device count")
+    return local
+
+
 def initialize_multihost(coordinator_address: str = None,
                          num_processes: int = None,
                          process_id: int = None) -> None:

@@ -47,6 +47,7 @@ from zebrapose_tpu.parallel.mesh import (
     replicate,
     scale_for_world,
     shard_batch,
+    validate_batch_partition,
 )
 from zebrapose_tpu.train.checkpoints import CheckpointManager
 from zebrapose_tpu.train.state import TrainState, create_train_state
@@ -446,6 +447,11 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
 
     _warn_ignored_config(cfg)
     pretrained_backbone = _resolve_pretrained(pretrained_backbone)
+    # fail fast on an unshardable batch before any dataset/model work
+    if mesh is None:
+        mesh = make_mesh()
+    validate_batch_partition(cfg.batch_size, accum_steps,
+                             mesh.devices.size)
 
     obj_id = lookup_obj_id(cfg.dataset_name, obj_name)
 
@@ -525,29 +531,12 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
     lr, iters = scale_for_world(cfg.learning_rate, cfg.total_iteration,
                                 world)
     # multi-host: each process feeds its local slice of the global batch
-    # with a distinct sampling stream (DistributedSampler equivalent)
-    import jax as _jax
-    local_batch = local_batch_size(cfg.batch_size)
-    if accum_steps < 1:
-        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
-    if local_batch % accum_steps:
-        raise ValueError(
-            f"local batch {local_batch} not divisible by accum_steps "
-            f"{accum_steps}; cfg.batch_size is the EFFECTIVE batch and "
-            f"must split evenly into micro-batches")
-    local_batch //= accum_steps
-    # each (global) micro-batch is sharded over every mesh device; this
-    # process contributes local_batch rows, which must cover its local
-    # device share evenly or the first shard_batch fails with an opaque
-    # GSPMD error instead of a config message
-    local_devices = max(world // _jax.process_count(), 1)
-    if local_batch % local_devices:
-        raise ValueError(
-            f"micro-batch {local_batch} per process (batch_size "
-            f"{cfg.batch_size} / accum_steps {accum_steps} / "
-            f"{_jax.process_count()} processes) not divisible by the "
-            f"{local_devices} local mesh devices; batch_size must be a "
-            f"multiple of accum_steps * total device count")
+    # with a distinct sampling stream (DistributedSampler equivalent).
+    # Validation is exactly as strict as shard_batch (see
+    # validate_batch_partition) and already ran at the top of this
+    # function; recompute the per-process micro-batch size here.
+    local_batch = validate_batch_partition(cfg.batch_size, accum_steps,
+                                           world)
     state = create_train_state(model, variables, learning_rate=lr,
                                n_bits=cfg.number_of_itration, gamma=gamma,
                                log_freq=log_freq)
@@ -564,12 +553,12 @@ def build_train_setup(cfg: ZebraConfig, obj_name: str,
         train_iter = CachedBatchIterator(
             dev_cache, batch_size=local_batch,
             second_dataset_ratio=cfg.second_dataset_ratio,
-            seed=_jax.process_index())
+            seed=jax.process_index())
     else:
         train_iter = MixedBatchIterator(
             ds1, ds2, batch_size=local_batch,
             second_dataset_ratio=cfg.second_dataset_ratio,
-            seed=_jax.process_index(), num_workers=cfg.num_workers)
+            seed=jax.process_index(), num_workers=cfg.num_workers)
         if device_prefetch:
             train_iter = DevicePrefetchIterator(train_iter, mesh)
 
