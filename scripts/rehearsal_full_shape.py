@@ -111,7 +111,10 @@ def build_tree(root, n_train=160, n_val=40, seed=0):
 
     for split, n_imgs in (("train_real", n_train), ("test", n_val)):
         scene = os.path.join(ds, split, "000001")
-        for sub in ("rgb", "mask", "mask_visib"):
+        write_depth = split == "test"  # VSD needs test-split depth
+        subdirs = ("rgb", "mask", "mask_visib") + (
+            ("depth",) if write_depth else ())
+        for sub in subdirs:
             os.makedirs(os.path.join(scene, sub), exist_ok=True)
         gt_dir = os.path.join(ds, split + "_GT_v2", "000001")
         os.makedirs(gt_dir, exist_ok=True)
@@ -119,10 +122,13 @@ def build_tree(root, n_train=160, n_val=40, seed=0):
         t0 = time.time()
         for im in range(n_imgs):
             R, t = random_pose(rng)
-            fidx, _ = native.render_label(
+            fidx, depth = native.render_label(
                 pts, faces.astype(np.int32),
                 np.arange(1, len(faces) + 1, dtype=np.int32),
-                K, R, t, IMG_W, IMG_H)
+                K, R, t, IMG_W, IMG_H, with_depth=write_depth)
+            if write_depth:
+                cv2.imwrite(os.path.join(scene, "depth", f"{im:06d}.png"),
+                            np.round(depth).astype(np.uint16))
             label_ids = face_label[fidx]
             label = np.asarray(class_id_to_rgb(jnp.asarray(label_ids)))
             mask = (fidx > 0).astype(np.uint8) * 255

@@ -180,3 +180,46 @@ def test_timed_steps_smoke(tmp_path):
     # timed_steps does NOT close the iterator (caller owns it)
     assert next(res.train_iter) is not None
     train_iter.close()
+
+
+def test_train_step_cost_analysis(tmp_path):
+    """train_step_cost: XLA's compiled-step cost model is queryable at
+    the trainer's real argument shapes and reports a positive flop
+    count (the MFU corroboration path, scripts/train_sustained.py
+    --cost_analysis). Lowering must not consume res.state."""
+    from zebrapose_tpu.train.trainer import train_step_cost
+
+    ds_dir, lists, lut = _build_scene(tmp_path, n_imgs=3)
+    rgb, mask, maskv, gts, gtis, cams = lists
+    ds = CropDatasetHost(
+        ds_dir, "test", rgb, mask, maskv, gts, gtis, cams,
+        is_train=True, crop_size_img=64, crop_size_gt=32)
+    cfg = ZebraConfig.from_dict({
+        "BoundingBox_CropSize_image": 64,
+        "BoundingBox_CropSize_GT": 32,
+        "batch_size": 8, "total_iteration": 1000,
+        "predict_entire_mask": True})
+    model = TinyZebra()
+    variables = model.init(jax.random.PRNGKey(5),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    state = create_train_state(model, dict(variables), 1e-3)
+    out_dir = str(tmp_path / "run_cost")
+    train_iter = MixedBatchIterator(ds, None, batch_size=8)
+    res = TrainResources(
+        cfg=cfg, model=model, state=state, mesh=make_mesh(),
+        train_iter=train_iter, val_dataset=None, lut=lut,
+        vertices=lut.points[lut.valid][::11], diameter=80.0,
+        symmetric=False, obj_id=1, obj_name="ape",
+        ckpt=CheckpointManager(os.path.join(out_dir, "ck")),
+        logger=MetricsLogger(os.path.join(out_dir, "logs"),
+                             also_stdout=False),
+        total_iterations=1000)
+    ca = train_step_cost(res)
+    assert isinstance(ca, dict)
+    # XLA:CPU reports flops; tolerate a backend that omits the key,
+    # but when present it must be a sane positive count
+    if "flops" in ca:
+        assert ca["flops"] > 1e6   # 3 convs over 8x64x64 >> 1 MFLOP
+    # res is still usable afterwards (lowering executes nothing)
+    assert next(res.train_iter) is not None
+    train_iter.close()

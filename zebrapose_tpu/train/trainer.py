@@ -235,6 +235,35 @@ def timed_steps(res: TrainResources, n_steps: int = 500,
     return (_time.time() - t0) / n_steps * 1e3
 
 
+def train_step_cost(res: TrainResources) -> dict:
+    """XLA's OWN cost model for the compiled train step.
+
+    AOT-lowers `train_step` at res's real shapes and returns
+    `compiled.cost_analysis()` (keys include "flops" and
+    "bytes accessed" when the backend reports them). Purpose: the MFU
+    numbers in PERF.md were model arithmetic (counted forward GFLOPs
+    x3 for fwd+2bwd over a nominal peak — round-4 VERDICT weak #5);
+    this pins the numerator with a compiler-derived flop count instead
+    of hand counting. Lowering executes nothing, so res remains usable
+    (it does draw ONE batch from res.train_iter for shapes/values).
+    """
+    cfg = res.cfg
+    loss_cfg = _loss_cfg(cfg)
+    state = res.state.replace(**{
+        f: replicate(res.mesh, getattr(res.state, f))
+        for f in ("step", "params", "batch_stats", "opt_state",
+                  "histogram", "best_score")})
+    batch = _make_batch_fn(res, jax.random.PRNGKey(0))(0)
+    lowered = train_step.lower(
+        state, batch, loss_cfg,
+        binary_loss_weight=float(cfg.binary_loss_weight),
+        predict_entire_mask=cfg.predict_entire_mask)
+    ca = lowered.compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):   # older jax: one dict per device
+        ca = ca[0] if ca else {}
+    return dict(ca or {})
+
+
 def fit(res: TrainResources, log_freq: int = 1000,
         validate: bool = True, max_steps: Optional[int] = None,
         val_mode: str = "pose", sync_freq: int = 50) -> float:
