@@ -212,21 +212,22 @@ def _trained_mask_section(batch_size: int = 64, iters: int = 10):
         return {"note": f"trained-mask section failed: {e!r}"}
 
 
-def _probe_device(timeout_s: float = 300.0) -> bool:
+def _probe_device(timeout_s: float = 420.0) -> bool:
     """Fail fast if the device never answers (the axon tunnel can wedge:
     a killed client's hung program blocks the remote queue indefinitely,
     observed 2026-08-17). A tiny fetch runs in a daemon thread; if it
     does not return within the probe budget the bench reports an error
     JSON line instead of hanging the caller forever.
 
-    Budget: 2 windows of timeout_s (10 min total). Healthy first contact
-    has measured anywhere from 2 s to 155 s on a QUIET host (backend
-    init spikes, 2026-08-19/20), and concurrent CPU load on this 1-core
-    host stretches it further — a 2x180 s budget false-failed two bench
-    runs that ran alongside pytest (2026-08-20). A true wedge costs the
-    full budget to report; a false "unreachable" (which also exits with
-    the probe fetch in flight — itself a tunnel-wedge risk, CLAUDE.md)
-    costs the round's headline number. Err patient."""
+    Budget: 2 windows of timeout_s (14 min total). Healthy first contact
+    has measured anywhere from 2 s to **310 s** on a QUIET host (backend
+    init spikes; the 310 s was 2026-08-20 on an idle box — it would have
+    false-failed the old 300 s window), and concurrent CPU load on this
+    1-core host stretches it further — a 2x180 s budget false-failed two
+    bench runs that ran alongside pytest (2026-08-20). A true wedge
+    costs the full budget to report; a false "unreachable" (which also
+    exits with the probe fetch in flight — itself a tunnel-wedge risk,
+    CLAUDE.md) costs the round's headline number. Err patient."""
     import threading
 
     ok = threading.Event()

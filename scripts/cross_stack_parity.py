@@ -141,6 +141,18 @@ def _install_stubs(torch):
         torch.load = load_or_fake
 
 
+def adi_errors_np(Re, te, Rg, tg, verts):
+    """ADD-S/ADI (bop pose_error.adi): mean nearest-neighbor distance —
+    the metric for symmetric objects; both stacks return the CANONICAL
+    pose representative, which plain ADD would mis-score."""
+    from scipy.spatial import cKDTree
+
+    pe = verts @ np.asarray(Re).T + np.asarray(te).reshape(1, 3)
+    pg = verts @ np.asarray(Rg).T + np.asarray(tg).reshape(1, 3)
+    d, _ = cKDTree(pg).query(pe, k=1)
+    return float(np.mean(d))
+
+
 def _walk_val(ds_root, split="test", scene="000001"):
     """File lists + GT dicts for the rehearsal val scene, in the shapes
     the reference dataset class expects."""
@@ -174,7 +186,7 @@ def add_errors_np(Re, te, Rg, tg, verts):
 
 
 def reference_stack(root, pth_path, n, crop_img=256, crop_gt=128,
-                    n_bits=16):
+                    n_bits=16, obj_id=1):
     """The reference's test.py hot loop (test.py:242-273), executing the
     reference's own modules end to end on the rehearsal val frames."""
     import torch
@@ -214,7 +226,8 @@ def reference_stack(root, pth_path, n, crop_img=256, crop_gt=128,
 
     # reference test.py:139 unpacks (total, divide, n_iter, dict)
     _, _, _, dict_pts = load_dict_class_id_3D_points(os.path.join(
-        ds_root, "models_GT_color", "Class_CorresPoint000001.txt"))
+        ds_root, "models_GT_color",
+        f"Class_CorresPoint{obj_id:06d}.txt"))
 
     results = []
     nn_outputs = []   # (pred_mask, pred_code, Bbox, cam_K) per frame —
@@ -251,7 +264,7 @@ def reference_stack(root, pth_path, n, crop_img=256, crop_gt=128,
     return results, nn_outputs
 
 
-def our_stack(root, ckpt, out_dir, n, pnp):
+def our_stack(root, ckpt, out_dir, n, pnp, obj_name="ape"):
     """Our production eval: run_test over the same frames."""
     from zebrapose_tpu.config import ZebraConfig
     from zebrapose_tpu.eval.runner import run_test
@@ -264,7 +277,7 @@ def our_stack(root, ckpt, out_dir, n, pnp):
         "BoundingBox_CropSize_GT": 128,
         "divide_number_each_itration": 2, "number_of_itration": 16,
     })
-    metrics = run_test(cfg, "ape", ckpt, out_dir, batch_size=8,
+    metrics = run_test(cfg, obj_name, ckpt, out_dir, batch_size=8,
                        max_samples=n,
                        pnp_cfg=PnPConfig(n_hypotheses=pnp,
                                          max_points=2048))
@@ -292,7 +305,19 @@ def main():
                     help="run OUR stack on the CPU backend (parity is "
                          "about numbers, not speed; the axon tunnel can "
                          "be wedged)")
+    ap.add_argument("--obj", default="ape",
+                    help="object name; a SYMMETRIC one (e.g. bowl from "
+                         "scripts/rehearsal_symmetric.py) switches both "
+                         "stacks' error metric to ADD-S/ADI")
     args = ap.parse_args()
+
+    from zebrapose_tpu.data.dataset_info import is_symmetric, \
+        lookup_obj_id
+
+    obj_id = lookup_obj_id("lmo", args.obj)
+    symmetric = is_symmetric("lmo", args.obj)
+    err_fn = adi_errors_np if symmetric else add_errors_np
+    metric_name = "ADD-S" if symmetric else "ADD"
 
     import jax
 
@@ -315,21 +340,22 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     ds_root = os.path.join(args.root, "lmo")
 
-    # geometry for ADD (models_eval, like the reference's metric setup)
+    # geometry for the metric (models_eval, like the reference's setup)
     from zebrapose_tpu.data.bop_io import load_ply
     mesh = load_ply(os.path.join(ds_root, "models_eval",
-                                 "obj_000001.ply"))
+                                 f"obj_{obj_id:06d}.ply"))
     verts = mesh["pts"].astype(np.float64)
     with open(os.path.join(ds_root, "models_eval",
                            "models_info.json")) as f:
-        diameter = float(json.load(f)["1"]["diameter"])
+        diameter = float(json.load(f)[str(obj_id)]["diameter"])
 
     # ---- stack A: ours (TPU program) --------------------------------
-    print("== our stack (run_test) ==", flush=True)
+    print(f"== our stack (run_test, {args.obj}, {metric_name}) ==",
+          flush=True)
     t0 = time.time()
     ours_metrics, ours_err = our_stack(args.root, ckpt,
                                        os.path.join(args.out, "ours"),
-                                       args.n, args.pnp)
+                                       args.n, args.pnp, args.obj)
     t_ours = time.time() - t0
     print(json.dumps(ours_metrics, indent=2), flush=True)
 
@@ -344,13 +370,14 @@ def main():
     print("== reference stack (torch modules from /root/reference) ==",
           flush=True)
     t0 = time.time()
-    ref, nn_outputs = reference_stack(args.root, pth_path, args.n)
+    ref, nn_outputs = reference_stack(args.root, pth_path, args.n,
+                                      obj_id=obj_id)
     t_ref = time.time() - t0
 
     ref_err = np.full(len(ref), 10000.0)
     for i, (Rg, tg, Rp, tp, ok) in enumerate(ref):
         if ok:
-            ref_err[i] = add_errors_np(Rp, tp, Rg, tg, verts)
+            ref_err[i] = err_fn(Rp, tp, Rg, tg, verts)
 
     # ---- attribution: OUR decoder on the REFERENCE's forward outputs.
     # Same pred_mask/pred_code/bbox/K as the cv2 path above, so any
@@ -364,7 +391,8 @@ def main():
     from zebrapose_tpu.ops.pnp import PnPConfig, decode_to_pose_batch
 
     lut = load_correspondence_lut(os.path.join(
-        ds_root, "models_GT_color", "Class_CorresPoint000001.txt"))
+        ds_root, "models_GT_color",
+        f"Class_CorresPoint{obj_id:06d}.txt"))
     masks = np.stack([o[0] for o in nn_outputs]).astype(np.float32)
     codes = np.stack([o[1] for o in nn_outputs])
     bboxes = np.stack([o[2] for o in nn_outputs]).astype(np.int32)
@@ -379,7 +407,7 @@ def main():
     xdec_err = np.full(len(ref), 10000.0)
     for i, (Rg, tg, _, _, _) in enumerate(ref):
         if okb[i]:
-            xdec_err[i] = add_errors_np(Rb[i], tb[i], Rg, tg, verts)
+            xdec_err[i] = err_fn(Rb[i], tb[i], Rg, tg, verts)
 
     n = len(ref_err)
     ours_err = ours_err[:n]
@@ -393,6 +421,8 @@ def main():
 
     report = {
         "frames": n,
+        "obj": args.obj,
+        "metric": metric_name,
         "diameter": diameter,
         "ours": {"recall_0.1d": rec_ours,
                  "solved": int(np.sum(ours_err < 9999)),
