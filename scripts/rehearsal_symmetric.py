@@ -54,6 +54,7 @@ N_BITS = 16
 OBJ_ID = 3          # "bowl" — symmetric in the lm/lmo registry
 OBJ_NAME = "bowl"
 R_MAX, HEIGHT = 35.0, 70.0
+Y_SQUASH = 0.6      # discrete spec: elliptic cross-section (2-fold)
 
 
 def pear_mesh(n_u=260, n_phi=270):
@@ -91,6 +92,56 @@ def sym_color(face_centroid):
     return np.clip(np.stack([zn, rn, bands], axis=-1), 0, 1)
 
 
+def ellipse_mesh(n_u=260, n_phi=270):
+    """Pear of revolution squashed along y: elliptic cross-sections,
+    invariant ONLY under the 2-fold Rz(pi) flip (eggbox-class
+    symmetry). Diameter is unchanged (farthest pair lies in the x-z
+    major plane)."""
+    pts, faces, diam = pear_mesh(n_u, n_phi)
+    pts = pts.copy()
+    pts[:, 1] *= Y_SQUASH
+    return pts, faces, diam
+
+
+def disc_color(face_centroid):
+    """RGB as a function of (x^2, y^2, z) — invariant under
+    (x, y) -> (-x, -y) (the Rz(pi) flip) but NOT under other
+    z-rotations, so pose is observable up to exactly the 2-fold
+    ambiguity the discrete canonicalization removes."""
+    x2 = (face_centroid[:, 0] / R_MAX) ** 2
+    y2 = (face_centroid[:, 1] / (Y_SQUASH * R_MAX)) ** 2
+    zn = face_centroid[:, 2] / HEIGHT + 0.5
+    bands = 0.5 + 0.5 * np.sin(6 * np.pi * zn) * np.cos(3 * np.pi * y2)
+    return np.clip(np.stack([zn, x2, bands], axis=-1), 0, 1)
+
+
+def _rz_pi_4x4():
+    m = np.eye(4)
+    m[0, 0] = m[1, 1] = -1.0
+    return m.reshape(-1).tolist()
+
+
+SPECS = {
+    "cont": dict(obj_id=3, obj_name="bowl", mesh=pear_mesh,
+                 color=sym_color,
+                 sym_info={"symmetries_continuous": [
+                     {"axis": [0, 0, 1], "offset": [0, 0, 0]}]}),
+    "disc": dict(obj_id=10, obj_name="eggbox", mesh=ellipse_mesh,
+                 color=disc_color,
+                 sym_info={"symmetries_discrete": [_rz_pi_4x4()]}),
+}
+_SPEC = SPECS["cont"]
+
+
+def set_spec(kind: str):
+    """Select the symmetry class; module-level OBJ_* follow (script
+    scope: every path below keys off these)."""
+    global _SPEC, OBJ_ID, OBJ_NAME
+    _SPEC = SPECS[kind]
+    OBJ_ID = _SPEC["obj_id"]
+    OBJ_NAME = _SPEC["obj_name"]
+
+
 def random_pose(rng):
     q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
     if np.linalg.det(q) < 0:
@@ -109,11 +160,8 @@ def build_sym_tree(root, n_train=160, n_val=120, seed=7):
 
     rng = np.random.default_rng(seed)
     ds = os.path.join(root, "lmo")
-    pts, faces, diam = pear_mesh()
-    info = {str(OBJ_ID): {
-        "diameter": diam,
-        "symmetries_continuous": [{"axis": [0, 0, 1],
-                                   "offset": [0, 0, 0]}]}}
+    pts, faces, diam = _SPEC["mesh"]()
+    info = {str(OBJ_ID): dict(diameter=diam, **_SPEC["sym_info"])}
     for d in ("models", "models_eval"):
         os.makedirs(os.path.join(ds, d), exist_ok=True)
         save_ply(os.path.join(ds, d, f"obj_{OBJ_ID:06d}.ply"), pts,
@@ -127,7 +175,7 @@ def build_sym_tree(root, n_train=160, n_val=120, seed=7):
 
     face_centroid = pts[faces].mean(axis=1)
     pos_color = np.concatenate([np.zeros((1, 3)),
-                                sym_color(face_centroid)])
+                                _SPEC["color"](face_centroid)])
 
     for split, n_imgs in (("train_real", n_train), ("test", n_val)):
         scene = os.path.join(ds, split, "000001")
@@ -285,7 +333,13 @@ def add_contrast_from_csv(out_dir, root):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--root", default="/tmp/zebra_sym")
+    ap.add_argument("--sym", choices=sorted(SPECS), default="cont",
+                    help="cont: continuous z (bowl-class); disc: 2-fold"
+                         " Rz(pi) discrete (eggbox-class — the lmo "
+                         "benchmark's symmetric objects)")
+    ap.add_argument("--root", default=None,
+                    help="default /tmp/zebra_sym (cont) / "
+                         "/tmp/zebra_sym_disc (disc)")
     ap.add_argument("--steps", type=int, default=2500)
     ap.add_argument("--control_steps", type=int, default=1000,
                     help="raw-label control run length (its loss floor "
@@ -294,9 +348,19 @@ def main():
     ap.add_argument("--skip_control", action="store_true")
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse checkpoints already in <root>/run*")
-    ap.add_argument("--report", default=os.path.join(
-        REPO, "reports", "symmetric_loop_r5.json"))
+    ap.add_argument("--report", default=None,
+                    help="default reports/symmetric_loop_r5.json "
+                         "(cont) / symmetric_loop_disc_r5.json (disc)")
     args = ap.parse_args()
+    set_spec(args.sym)
+    if args.root is None:
+        args.root = ("/tmp/zebra_sym" if args.sym == "cont"
+                     else "/tmp/zebra_sym_disc")
+    if args.report is None:
+        args.report = os.path.join(
+            REPO, "reports",
+            "symmetric_loop_r5.json" if args.sym == "cont"
+            else "symmetric_loop_disc_r5.json")
 
     import jax
 

@@ -93,6 +93,37 @@ def test_label_without_symmetry_info_depends_on_azimuth():
     assert agree < 0.5, f"raw labels should disagree, got {agree:.3f}"
 
 
+def test_canonical_label_invariant_under_discrete_flip():
+    """Discrete 2-fold branch (eggbox-class, rehearsal_symmetric
+    --sym disc): canonicalization over symmetries_discrete = [Rz(pi)]
+    makes labels bit-identical under the flip."""
+    from rehearsal_symmetric import SPECS, Y_SQUASH
+
+    pts, faces = tiny_pear()
+    pts = pts.copy()
+    pts[:, 1] *= Y_SQUASH                      # elliptic cross-section
+    vc = native.partition_mesh(pts, 2, 10, seed=0)
+    fc = native.face_classes(vc, faces)
+    info = SPECS["disc"]["sym_info"]
+    rng = np.random.default_rng(6)
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1
+    t = np.array([5.0, -8.0, 560.0])
+    flip = np.diag([-1.0, -1.0, 1.0])
+    lab0 = render_label_image(pts, faces, fc, K, q, t,
+                              IMG_W, IMG_H, info)
+    lab1 = render_label_image(pts, faces, fc, K, q @ flip, t,
+                              IMG_W, IMG_H, info)
+    assert (lab0.sum(-1) > 0).sum() > 500
+    assert (lab0 == lab1).all()
+    # ...but a NON-symmetry rotation must change the canonical label
+    lab2 = render_label_image(pts, faces, fc, K, q @ _rz(0.9), t,
+                              IMG_W, IMG_H, info)
+    both = (lab0.sum(-1) > 0) & (lab2.sum(-1) > 0)
+    assert (lab0 == lab2).all(-1)[both].mean() < 0.9
+
+
 def test_sym_color_is_azimuth_invariant():
     pts, faces = tiny_pear()
     cen = pts[faces].mean(axis=1)
