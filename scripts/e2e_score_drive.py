@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--report", default=os.path.join(
         REPO, "reports", "e2e_score_r5.json"))
+    ap.add_argument("--escalate", type=int, default=0,
+                    help="PnPConfig.escalate_hypotheses (256 lifts ADD "
+                         "recall 0.683->0.817 on this eval — PERF.md)")
     args = ap.parse_args()
 
     import jax
@@ -84,8 +87,9 @@ def main():
     t0 = time.time()
     metrics = run_test(cfg, "ape", args.ckpt, args.out,
                        batch_size=args.batch_size,
-                       pnp_cfg=PnPConfig(n_hypotheses=128,
-                                         max_points=2048))
+                       pnp_cfg=PnPConfig(
+                           n_hypotheses=128, max_points=2048,
+                           escalate_hypotheses=args.escalate))
     t_eval = time.time() - t0
     print(json.dumps(metrics, indent=2), flush=True)
 
@@ -116,6 +120,7 @@ def main():
         "per_object": scores.get("per_object"),
         "wall_s": {"eval": round(t_eval, 1), "score": round(t_score, 1)},
         "backend": "cpu" if args.cpu else jax.default_backend(),
+        "escalate_hypotheses": args.escalate,
     }
     os.makedirs(os.path.dirname(args.report), exist_ok=True)
     with open(args.report, "w") as f:
