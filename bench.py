@@ -257,8 +257,8 @@ def main():
             "error": "device unreachable: a trivial fetch timed out "
                      "(axon tunnel wedged?); see CLAUDE.md",
             "last_measured": {
-                "value": 1247.4, "unit": "crops/sec/chip",
-                "date": "2026-08-18",
+                "value": 1254.1, "unit": "crops/sec/chip",
+                "date": "2026-08-21",
                 "note": "most recent successful run of this same bench "
                         "on this chip (BENCH_r03.json / PERF.md); "
                         "reported for context only, NOT this run's "
